@@ -1,0 +1,151 @@
+"""MS-COCO caption dataset (reference `src/datasets/coco.py:30-148`).
+
+Parses ``captions_train2014.json`` (+ optional extra val-ann file for the
+restval ids) without pycocotools, indexes by caption (annotation) id, and
+returns the reference's per-sample tuple fields. The frozen 50k public
+subset (``coco_subset_idx_file``, a pickled sorted index list into the
+566 435-caption train+restval set) is honored verbatim when present —
+it is load-bearing for reproducibility (SURVEY.md §7 risks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from creamfl_tpu.data.tokenize import caption_to_ids
+from creamfl_tpu.data.transforms import imagenet_transform
+
+
+def _load_annotations(ann_path: str):
+    with open(ann_path) as f:
+        data = json.load(f)
+    imgs = {im["id"]: im["file_name"] for im in data["images"]}
+    anns = {a["id"]: a for a in data["annotations"]}
+    return imgs, anns
+
+
+class CocoCaptionsCap:
+    """Caption-indexed COCO. ``ids``/``extra_ids`` select annotation ids
+    from the primary/extra annotation files respectively."""
+
+    def __init__(self, image_root: str, ann_path: str,
+                 ids: Optional[Sequence[int]] = None,
+                 extra_ann_path: Optional[str] = None,
+                 extra_ids: Optional[Sequence[int]] = None,
+                 train: bool = False,
+                 vocab=None,
+                 max_len: int = 64,
+                 caption_drop_prob: float = 0.0,
+                 random_erasing_prob: float = 0.0,
+                 bert_tokenizer=None,
+                 bert_max_len: int = 64,
+                 seed: int = 2021):
+        self.image_root = image_root
+        self.vocab = vocab
+        self.train = train
+        self.max_len = max_len
+        self.caption_drop_prob = caption_drop_prob if train else 0.0
+        self.random_erasing_prob = random_erasing_prob if train else 0.0
+        self.bert_tokenizer = bert_tokenizer
+        self.bert_max_len = bert_max_len
+        self.rng = random.Random(seed)
+
+        imgs, anns = _load_annotations(ann_path)
+        if extra_ann_path:
+            e_imgs, e_anns = _load_annotations(extra_ann_path)
+            imgs.update(e_imgs)
+            anns.update(e_anns)
+        self._imgs = imgs
+        self._anns = anns
+
+        all_ids = list(ids) if ids is not None else list(anns.keys())
+        if extra_ids is not None:
+            all_ids += list(extra_ids)
+        self.ids = [int(i) for i in all_ids]
+
+        self.n_images = len({anns[i]["image_id"] for i in self.ids
+                             if i in anns})
+        self.iid_to_cls = None  # PMRP class mode unused by CreamFL
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load_image(self, image_id: int) -> np.ndarray:
+        from PIL import Image
+
+        path = os.path.join(self.image_root, self._imgs[image_id])
+        with Image.open(path) as im:
+            return imagenet_transform(
+                im, self.train, self.rng,
+                random_erasing_prob=self.random_erasing_prob)
+
+    def __getitem__(self, index: int):
+        ann_id = self.ids[index]
+        ann = self._anns[ann_id]
+        image_id = ann["image_id"]
+        caption = ann["caption"]
+        img = self._load_image(image_id)
+        ids = caption_to_ids(caption, self.vocab, self.caption_drop_prob,
+                             self.rng)[: self.max_len]
+        tokens = np.zeros((self.max_len,), np.int32)
+        tokens[: len(ids)] = ids
+        sample = {
+            "images": img.astype(np.float32),
+            "captions": tokens,
+            "lengths": np.int32(len(ids)),
+            "ann_ids": np.int64(ann_id),
+            "image_ids": np.int64(image_id),
+            "index": np.int64(index),
+        }
+        if self.bert_tokenizer is not None:
+            bids, bmask = self.bert_tokenizer.encode(str(caption),
+                                                     self.bert_max_len)
+            sample["bert_ids"] = np.asarray(bids, np.int32)
+            sample["bert_mask"] = np.asarray(bmask, np.int32)
+        return sample
+
+
+class SubsetDataset:
+    """torch.utils.data.Subset equivalent; re-indexes ``index`` so the
+    distill bookkeeping sees subset-relative positions like the
+    reference's Subset + enumerate pipeline."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.iid_to_cls = getattr(dataset, "iid_to_cls", None)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        sample = self.dataset[self.indices[i]]
+        sample = dict(sample)
+        sample["index"] = np.int64(self.indices[i])
+        return sample
+
+    @property
+    def n_images(self):
+        return getattr(self.dataset, "n_images", None)
+
+
+def load_or_create_subset_idx(path: str, total: int = 566435,
+                              k: int = 50000,
+                              seed: int = 2021) -> List[int]:
+    """The frozen public-subset indices (reference
+    load_datasets.py:148-162): reuse the committed file when present,
+    otherwise sample-sort-freeze."""
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    rng = random.Random(seed)
+    idx = sorted(rng.sample(range(total), k))
+    with open(path, "wb") as f:
+        pickle.dump(idx, f)
+    return idx

@@ -1,0 +1,101 @@
+"""Batching and collation for TPU-static shapes.
+
+The reference's DataLoaders sort each batch by caption length and pad to
+the batch max (`src/datasets/_dataloader.py:35-64`) — dynamic shapes that
+would force one XLA recompilation per batch. TPU-native redesign: captions
+pad to a fixed ``max_len`` per dataset (single compiled program), lengths
+ride along as an int32 tensor, and the GRU masks instead of packing.
+Sorting is dropped (only needed for packing; order only affected batch
+statistics).
+
+``ArrayLoader`` is a minimal epoch iterator over an indexable dataset
+producing dict-of-ndarray batches; it covers the reference's shuffle /
+drop_last surface and optionally pads the final partial batch (with a
+``valid`` mask) so eval loops also see one static shape.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate_captions(token_lists: Sequence[Sequence[int]],
+                     max_len: int) -> Dict[str, np.ndarray]:
+    """Pad id lists to [B, max_len] + lengths (clipped to max_len)."""
+    b = len(token_lists)
+    out = np.zeros((b, max_len), np.int32)
+    lengths = np.zeros((b,), np.int32)
+    for i, ids in enumerate(token_lists):
+        ids = list(ids)[:max_len]
+        out[i, :len(ids)] = ids
+        lengths[i] = len(ids)
+    return {"captions": out, "lengths": lengths}
+
+
+class ArrayLoader:
+    """Epoch iterator: dataset[index] -> sample dict; batches stacked.
+
+    Args:
+      dataset: indexable with __len__ returning sample dicts of ndarrays
+        / scalars (string fields are collected into lists).
+      batch_size: fixed batch size.
+      shuffle: reshuffle each epoch (seeded).
+      drop_last: drop the trailing partial batch (training).
+      pad_last: if not dropping, repeat-pad the final batch to full size
+        and emit a boolean ``valid`` mask (evaluation under jit).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, pad_last: bool = True,
+                 seed: int = 2021,
+                 collate_fn: Optional[Callable[[List[dict]], dict]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.rng = random.Random(seed)
+        self.collate_fn = collate_fn
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _stack(self, samples: List[dict], n_valid: int) -> Dict[str, Any]:
+        batch: Dict[str, Any] = {}
+        for key in samples[0]:
+            vals = [s[key] for s in samples]
+            if isinstance(vals[0], str):
+                batch[key] = vals
+            else:
+                batch[key] = np.stack([np.asarray(v) for v in vals])
+        batch["valid"] = (np.arange(len(samples)) < n_valid)
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        n = len(self.dataset)
+        order = list(range(n))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idxs = order[start:start + bs]
+            n_valid = len(idxs)
+            if n_valid < bs:
+                if self.drop_last:
+                    return
+                if self.pad_last and n_valid > 0:
+                    idxs = idxs + [idxs[i % n_valid]
+                                   for i in range(bs - n_valid)]
+            samples = [self.dataset[i] for i in idxs]
+            if self.collate_fn is not None:
+                yield self.collate_fn(samples)
+            else:
+                yield self._stack(samples, n_valid)

@@ -1,0 +1,236 @@
+"""Dataset pipeline assembly (reference `src/utils/load_datasets.py` +
+`src/datasets/load_FL_datasets.py` + MMFL.create_model wiring).
+
+``build_datasets(args, ...)`` returns the loader bundle the federation
+layer consumes:
+  pub_train / pub_eval  — the 50k-caption public COCO subset with train /
+                          eval transforms (load_datasets.py:70-93; eval
+                          batch is 2x train batch);
+  test                  — COCO 5k retrieval test split;
+  img_clients[i] / txt_clients[i] / mm_clients[i] — per-client loaders
+                          (Dirichlet-hetero for CIFAR/AG_NEWS, shard
+                          partition for F30k);
+  img_test / txt_test   — shared local test sets;
+  vocab, img_num_class, txt_num_class, crossfold sizes.
+
+When real data roots are absent (this build env has zero egress), the
+synthetic twins stand in with identical shapes — flagged by
+``datasets['synthetic']``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from creamfl_tpu.data.loaders import ArrayLoader
+from creamfl_tpu.data.partition import data_partitioner
+from creamfl_tpu.data.synthetic import (SyntheticCaptionDataset,
+                                        SyntheticImageClassification,
+                                        SyntheticTextClassification)
+from creamfl_tpu.data.vocab import Vocabulary
+
+
+def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
+                             pub_size: int = 256,
+                             image_size: int = 64,
+                             max_len: int = 16,
+                             client_data_size: int = 128,
+                             test_size: int = 64,
+                             retrieval_test_size: int = 100,
+                             batch_size: Optional[int] = None,
+                             bert_tokenizer=None) -> Dict:
+    """Shape-faithful synthetic bundle (scaled-down by default)."""
+    vocab = vocab or Vocabulary.synthetic(100)
+    bs = batch_size or min(args.batch_size, pub_size)
+
+    pub = SyntheticCaptionDataset(
+        n_captions=pub_size, image_size=image_size, max_len=max_len,
+        vocab=vocab, seed=1, bert_tokenizer=bert_tokenizer)
+    test = SyntheticCaptionDataset(
+        n_captions=retrieval_test_size, image_size=image_size,
+        max_len=max_len, vocab=vocab, seed=2,
+        bert_tokenizer=bert_tokenizer)
+
+    datasets: Dict = {
+        "vocab": vocab,
+        "synthetic": True,
+        "pub_train": ArrayLoader(pub, bs, shuffle=True, drop_last=True,
+                                 seed=args.seed),
+        "pub_eval": ArrayLoader(pub, bs, shuffle=False, pad_last=True),
+        "test": ArrayLoader(test, min(bs, retrieval_test_size),
+                            shuffle=False, pad_last=True),
+        "img_num_class": 100,
+        "txt_num_class": 4,
+        # Synthetic retrieval test is small: shrink the crossfolds.
+        "n_crossfolds": 2,
+        "n_images_per_crossfold": max(1, retrieval_test_size // 10),
+        "n_captions_per_crossfold": max(1, retrieval_test_size // 2
+                                        // 2),
+    }
+
+    # -- unimodal clients (Dirichlet hetero partition on labels) -------
+    if args.num_img_clients > 0:
+        full = SyntheticImageClassification(
+            n=client_data_size * args.num_img_clients,
+            image_size=image_size, num_classes=100, seed=3)
+        parts = data_partitioner("cifar100", len(full),
+                                 args.num_img_clients, "hetero",
+                                 alpha=args.alpha,
+                                 y_train=full.targets, seed=args.seed)
+        datasets["img_clients"] = [
+            ArrayLoader(_Subset(full, parts[i]),
+                        min(bs, max(1, len(parts[i]))), shuffle=True,
+                        drop_last=False, pad_last=True, seed=args.seed)
+            for i in range(args.num_img_clients)]
+        datasets["img_test"] = ArrayLoader(
+            SyntheticImageClassification(n=test_size,
+                                         image_size=image_size,
+                                         num_classes=100, seed=4),
+            min(bs, test_size), pad_last=True)
+    if args.num_txt_clients > 0:
+        full = SyntheticTextClassification(
+            n=client_data_size * args.num_txt_clients, num_classes=4,
+            max_len=max_len, vocab=vocab, seed=5)
+        parts = data_partitioner("AG_NEWS", len(full),
+                                 args.num_txt_clients, "hetero",
+                                 alpha=args.alpha,
+                                 y_train=full.targets, seed=args.seed)
+        datasets["txt_clients"] = [
+            ArrayLoader(_Subset(full, parts[i]),
+                        min(bs, max(1, len(parts[i]))), shuffle=True,
+                        drop_last=False, pad_last=True, seed=args.seed)
+            for i in range(args.num_txt_clients)]
+        datasets["txt_test"] = ArrayLoader(
+            SyntheticTextClassification(n=test_size, num_classes=4,
+                                        max_len=max_len, vocab=vocab,
+                                        seed=6),
+            min(bs, test_size), pad_last=True)
+    if args.num_mm_clients > 0:
+        datasets["mm_clients"] = [
+            ArrayLoader(
+                SyntheticCaptionDataset(n_captions=client_data_size,
+                                        image_size=image_size,
+                                        max_len=max_len, vocab=vocab,
+                                        seed=100 + i),
+                min(bs, client_data_size), shuffle=True, drop_last=True,
+                seed=args.seed)
+            for i in range(args.num_mm_clients)]
+    return datasets
+
+
+class _Subset:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.targets = np.asarray(dataset.targets)[self.indices] \
+            if hasattr(dataset, "targets") else None
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
+def build_real_datasets(args, vocab_path: str, coco_root: str,
+                        cifar_root: str, agnews_root: str,
+                        f30k_root: str, bert_vocab: Optional[str] = None,
+                        partition_dir: str = "./data_partition") -> Dict:
+    """Real-data bundle; mirrors prepare_coco_dataloaders +
+    get_FL_trainloader. Raises FileNotFoundError on missing roots so the
+    caller can fall back to synthetic."""
+    from creamfl_tpu.data.agnews import Language
+    from creamfl_tpu.data.cifar import Cifar
+    from creamfl_tpu.data.coco import (CocoCaptionsCap, SubsetDataset,
+                                       load_or_create_subset_idx)
+    from creamfl_tpu.data.flickr30k import F30kCaptionsCap
+    from creamfl_tpu.data.tokenize import BertWordPieceTokenizer
+
+    vocab = Vocabulary().load_from_pickle(vocab_path)
+    bert_tok = (BertWordPieceTokenizer.from_vocab_file(bert_vocab)
+                if bert_vocab and os.path.exists(bert_vocab) else None)
+
+    ann_dir = os.path.join(coco_root, "annotations")
+    image_root = os.path.join(coco_root, "allimages")
+    train_ann = os.path.join(ann_dir, "captions_train2014.json")
+    val_ann = os.path.join(ann_dir, "captions_val2014.json")
+    id_dir = os.path.join(os.path.dirname(__file__), "annotations")
+
+    def _ids(name):
+        path = os.path.join(id_dir, name)
+        return np.load(path) if os.path.exists(path) else None
+
+    train_ids = _ids("coco_train_ids.npy")
+    restval_ids = _ids("coco_restval_ids.npy")
+    te_ids = _ids("coco_test_ids.npy")
+
+    def coco(train, ids=train_ids, extra=restval_ids):
+        return CocoCaptionsCap(
+            image_root, train_ann, ids=ids, extra_ann_path=val_ann,
+            extra_ids=extra, train=train, vocab=vocab,
+            caption_drop_prob=0.1 if train else 0.0,
+            random_erasing_prob=0.2 if train else 0.0,
+            bert_tokenizer=bert_tok)
+
+    subset_idx = load_or_create_subset_idx("coco_subset_idx_file")
+    pub_train = SubsetDataset(coco(True), subset_idx)
+    pub_eval = SubsetDataset(coco(False), subset_idx)
+    test_set = CocoCaptionsCap(image_root, val_ann, ids=te_ids,
+                               train=False, vocab=vocab,
+                               bert_tokenizer=bert_tok)
+
+    bs = args.batch_size
+    datasets: Dict = {
+        "vocab": vocab,
+        "synthetic": False,
+        "pub_train": ArrayLoader(pub_train, bs, shuffle=True,
+                                 drop_last=True, seed=args.seed),
+        "pub_eval": ArrayLoader(pub_eval, bs * 2, pad_last=True),
+        "test": ArrayLoader(test_set, 8, pad_last=True),
+        "img_num_class": 100,
+        "txt_num_class": 4,
+        "n_crossfolds": 5,
+        "n_images_per_crossfold": 1000,
+        "n_captions_per_crossfold": 5000,
+    }
+
+    if args.num_img_clients > 0:
+        train = Cifar(cifar_root, "Cifar100", train=True)
+        parts = data_partitioner("cifar100", len(train),
+                                 args.num_img_clients, "hetero",
+                                 check_dir=partition_dir, alpha=0.1,
+                                 y_train=train.targets, seed=args.seed)
+        datasets["img_clients"] = [
+            ArrayLoader(_Subset(train, parts[i]), 512, shuffle=True,
+                        pad_last=True, seed=args.seed)
+            for i in range(args.num_img_clients)]
+        datasets["img_test"] = ArrayLoader(
+            Cifar(cifar_root, "Cifar100", train=False), 512,
+            pad_last=True)
+    if args.num_txt_clients > 0:
+        train = Language(agnews_root, "AG_NEWS", train=True, vocab=vocab)
+        parts = data_partitioner("AG_NEWS", len(train),
+                                 args.num_txt_clients, "hetero",
+                                 check_dir=partition_dir, alpha=0.1,
+                                 y_train=train.targets, seed=args.seed)
+        datasets["txt_clients"] = [
+            ArrayLoader(_Subset(train, parts[i]), 512, shuffle=True,
+                        pad_last=True, seed=args.seed)
+            for i in range(args.num_txt_clients)]
+        datasets["txt_test"] = ArrayLoader(
+            Language(agnews_root, "AG_NEWS", train=False, vocab=vocab),
+            512, pad_last=True)
+    if args.num_mm_clients > 0:
+        pp = os.path.join(partition_dir, "client_noniid_flicker30k.pkl")
+        datasets["mm_clients"] = [
+            ArrayLoader(
+                F30kCaptionsCap(f30k_root, "train", train=True,
+                                vocab=vocab, caption_drop_prob=0.1,
+                                random_erasing_prob=0.2, client=i,
+                                partition_pickle=pp),
+                128, shuffle=True, drop_last=True, seed=args.seed)
+            for i in range(args.num_mm_clients)]
+    return datasets

@@ -1,0 +1,189 @@
+"""Cross-modal retrieval evaluator (reference `src/algorithms/eval_coco.py`).
+
+Metric contract (BASELINE.md): R@1/5/10, medr, meanr for i2t and t2i, on
+5x(1000 img / 5000 cap) crossfolds plus the full gallery; rsum =
+R@1+R@5+R@10 per direction.
+
+TPU-native redesign of the ranking: the reference sorts the full
+similarity matrix per query batch and then *scans Python-side* for each
+positive's position (eval_coco.py:314-331). Sorting is O(N log N) per
+query and host-bound. Ranks don't need a sort: the best-positive rank is
+``#{j : s_j > s_p*}`` plus stable tie-count, where ``p*`` is the
+highest-similarity positive — an O(N) masked reduction that runs entirely
+on device. Ties break by gallery index (stable), matching a stable
+descending sort of the reference's ``(-sims).sort()``.
+
+Feature extraction keeps the reference's semantics: images deduped by
+image_id in first-seen order, captions re-sorted to group by their
+image's position (eval_coco.py:119-223). n_embeddings is 1 (the
+reference's 7x broadcast + sum-pool is score-neutral, see §3.4 of
+SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def best_positive_ranks(q_features: jnp.ndarray, g_features: jnp.ndarray,
+                        q_labels: jnp.ndarray, g_labels: jnp.ndarray,
+                        block_size: int = 1024) -> jnp.ndarray:
+    """For each query, rank (0-based) of its best-ranked positive.
+
+    Equivalent to: stable-argsort gallery by descending similarity, take
+    min position over items with g_label == q_label.
+    """
+    n_g = g_features.shape[0]
+    g_idx = jnp.arange(n_g)
+
+    def one_block(q_blk, ql_blk):
+        sims = jnp.dot(q_blk.astype(jnp.float32),
+                       g_features.astype(jnp.float32).T,
+                       preferred_element_type=jnp.float32)  # [b, N]
+        pos_mask = ql_blk[:, None] == g_labels[None, :]
+        # Best positive: max sim, ties -> smallest index.
+        pos_sims = jnp.where(pos_mask, sims, -jnp.inf)
+        best_sim = jnp.max(pos_sims, axis=1)
+        is_best = pos_sims == best_sim[:, None]
+        best_idx = jnp.min(jnp.where(is_best, g_idx[None, :], n_g), axis=1)
+        # Stable descending rank of (best_sim, best_idx).
+        higher = jnp.sum(sims > best_sim[:, None], axis=1)
+        tied_before = jnp.sum((sims == best_sim[:, None])
+                              & (g_idx[None, :] < best_idx[:, None]), axis=1)
+        return higher + tied_before
+
+    n_q = q_features.shape[0]
+    pad = (-n_q) % block_size
+    qf = jnp.pad(q_features, ((0, pad), (0, 0)))
+    ql = jnp.pad(q_labels, (0, pad))
+    blocks = qf.reshape(-1, block_size, qf.shape[-1])
+    lblocks = ql.reshape(-1, block_size)
+    ranks = jax.lax.map(lambda t: one_block(*t), (blocks, lblocks))
+    return ranks.reshape(-1)[:n_q]
+
+
+def _recall_scores(ranks: np.ndarray) -> Dict[str, float]:
+    def recall_at(k):
+        return 100.0 * float(np.sum(ranks < k)) / len(ranks)
+
+    r1, r5, r10 = recall_at(1), recall_at(5), recall_at(10)
+    return {
+        "recall_1": r1,
+        "recall_5": r5,
+        "recall_10": r10,
+        "rsum": r1 + r5 + r10,
+        "medr": float(np.floor(np.median(ranks)) + 1),
+        "meanr": float(np.mean(ranks) + 1),
+    }
+
+
+class RetrievalEvaluator:
+    """Evaluator over an extract_fn(batch) -> (img_feats, cap_feats)."""
+
+    def __init__(self, n_crossfolds: int = 5,
+                 n_images_per_crossfold: int = 1000,
+                 n_captions_per_crossfold: int = 5000,
+                 eval_batch_size: int = 1024,
+                 logger=None):
+        self.n_crossfolds = n_crossfolds
+        self.n_images_per_crossfold = n_images_per_crossfold
+        self.n_captions_per_crossfold = n_captions_per_crossfold
+        self.eval_batch_size = eval_batch_size
+        self.logger = logger
+
+    # -- feature extraction (host-side dedup/alignment) ----------------
+    def extract_features(self, loader, extract_fn: Callable) -> Dict:
+        img_feats, cap_feats = [], []
+        img_ids_all, cap_img_ids, cap_ann_ids = [], [], []
+        seen = set()
+        for batch in loader:
+            fi, fc = extract_fn(batch)
+            fi = np.asarray(fi)
+            fc = np.asarray(fc)
+            valid = np.asarray(batch.get("valid",
+                                         np.ones(len(fi), bool)))
+            for i in range(len(fi)):
+                if not valid[i]:
+                    continue
+                image_id = int(batch["image_ids"][i])
+                if image_id not in seen:
+                    seen.add(image_id)
+                    img_feats.append(fi[i])
+                    img_ids_all.append(image_id)
+                cap_feats.append(fc[i])
+                cap_img_ids.append(image_id)
+                cap_ann_ids.append(int(batch["ann_ids"][i]))
+
+        img_feats = np.stack(img_feats)
+        cap_feats = np.stack(cap_feats)
+        img_ids_all = np.asarray(img_ids_all)
+        cap_img_ids = np.asarray(cap_img_ids)
+
+        # Align captions to image order (group captions by image class in
+        # the images' first-seen order; reference eval_coco.py:196-208).
+        order = []
+        for image_id in img_ids_all:
+            order.extend(np.where(cap_img_ids == image_id)[0])
+        order = np.asarray(order)
+
+        return {
+            "image_features": img_feats,
+            "caption_features": cap_feats[order],
+            "image_classes": img_ids_all,
+            "caption_classes": cap_img_ids[order],
+            "caption_ids": np.asarray(cap_ann_ids)[order],
+        }
+
+    # -- scoring -------------------------------------------------------
+    def evaluate_recall(self, q_features, g_features, q_labels,
+                        g_labels) -> Dict[str, float]:
+        ranks = np.asarray(best_positive_ranks(
+            jnp.asarray(q_features), jnp.asarray(g_features),
+            jnp.asarray(q_labels), jnp.asarray(g_labels),
+            block_size=min(self.eval_batch_size, max(1, len(q_features)))))
+        return _recall_scores(ranks)
+
+    def evaluate_n_fold(self, feats: Dict) -> Dict:
+        per_task = {"i2t": [], "t2i": []}
+        for fold in range(self.n_crossfolds):
+            i0 = fold * self.n_images_per_crossfold
+            c0 = fold * self.n_captions_per_crossfold
+            img_f = feats["image_features"][i0:i0 + self.n_images_per_crossfold]
+            img_c = feats["image_classes"][i0:i0 + self.n_images_per_crossfold]
+            cap_f = feats["caption_features"][c0:c0 + self.n_captions_per_crossfold]
+            cap_c = feats["caption_classes"][c0:c0 + self.n_captions_per_crossfold]
+            per_task["i2t"].append(
+                self.evaluate_recall(img_f, cap_f, img_c, cap_c))
+            per_task["t2i"].append(
+                self.evaluate_recall(cap_f, img_f, cap_c, img_c))
+        out = {}
+        for task, folds in per_task.items():
+            out[task] = {k: float(np.mean([f[k] for f in folds]))
+                         for k in folds[0]}
+        return out
+
+    def evaluate(self, loader, extract_fn,
+                 n_crossfolds: Optional[int] = None) -> Dict:
+        feats = self.extract_features(loader, extract_fn)
+        scores: Dict = {}
+        n_crossfolds = (self.n_crossfolds if n_crossfolds is None
+                        else n_crossfolds)
+        n_img = len(feats["image_features"])
+        if (n_crossfolds > 0 and
+                n_img >= n_crossfolds * self.n_images_per_crossfold):
+            scores["n_fold"] = self.evaluate_n_fold(feats)
+        scores["i2t"] = self.evaluate_recall(
+            feats["image_features"], feats["caption_features"],
+            feats["image_classes"], feats["caption_classes"])
+        scores["t2i"] = self.evaluate_recall(
+            feats["caption_features"], feats["image_features"],
+            feats["caption_classes"], feats["image_classes"])
+        for key in ("rsum", "medr", "meanr"):
+            scores[key] = scores["i2t"][key] + scores["t2i"][key]
+        return scores

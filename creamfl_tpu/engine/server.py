@@ -1,0 +1,190 @@
+"""Server engine: global PCME training, feature extraction, distillation.
+
+Reference: `src/algorithms/retrieval_trainer.py:37-238` (train/eval/ckpt)
+plus the distill pass owned by `MMFL.distill` (`MMFL.py:343-391`).
+
+All hot paths are single jitted programs:
+  * ``train_step``   — PCME forward + MCSoft criterion + AdamP(+clip2).
+  * ``extract_step`` — feature pass over the public set. The reference
+    leaves the model in train() mode here, so BatchNorm consumes batch
+    statistics and updates running stats even under no_grad
+    (MMFL.py:194-221); reproduced via ``mutable=['batch_stats']``.
+  * ``distill_step`` — forward + kd_weight * MSE against the con_w
+    aggregated targets; modality terms are compile-time flags matching
+    MMFL.py:361-378 (the mm-client term double-counts on purpose).
+
+bf16 policy: ResNet/BERT compute in bf16, params + criterion fp32 (the
+TPU equivalent of the reference's apex O2, coco.yaml:58).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from creamfl_tpu.engine.state import EngineState
+from creamfl_tpu.losses.mcsoft import (MCSoftContrastiveConfig,
+                                       init_mcsoft_params,
+                                       mcsoft_contrastive_loss)
+from creamfl_tpu.models.bert import BertConfig
+from creamfl_tpu.models.pcme import PCME
+from creamfl_tpu.optim.factory import (cosine_annealing_schedule,
+                                       make_server_optimizer)
+
+
+class ServerEngine:
+    def __init__(self, config, vocab_size: int, mlp_local: bool = False,
+                 bert_config: Optional[BertConfig] = None,
+                 use_bf16: Optional[bool] = None):
+        model_cfg = config.model
+        if use_bf16 is None:
+            use_bf16 = bool(config.train.get("use_bf16", False))
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        self.config = config
+        self.model = PCME(
+            embed_dim=model_cfg.embed_dim,
+            cnn_type=model_cfg.cnn_type,
+            vocab_size=vocab_size,
+            word_dim=model_cfg.get("word_dim", 300),
+            not_bert=bool(model_cfg.get("not_bert", True)),
+            mlp_local=mlp_local,
+            bert_config=bert_config or BertConfig(),
+            dtype=dtype,
+        )
+        crit_cfg = config.criterion
+        self.criterion_config = MCSoftContrastiveConfig(
+            init_shift=float(crit_cfg.get("init_shift", 15)),
+            init_negative_scale=float(crit_cfg.get("init_negative_scale",
+                                                   15)),
+        )
+        opt_cfg = config.optimizer
+        self.tx, self.lr_schedule = make_server_optimizer(
+            learning_rate=float(opt_cfg.learning_rate),
+            t_max=int(config.lr_scheduler.get("T_max", 30)),
+            grad_clip=float(config.train.get("grad_clip", 2.0)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+        )
+        self.kd_weight = 0.3  # overridden by federation from CLI args
+
+    # -- state ---------------------------------------------------------
+    def init_state(self, rng, sample_batch: Dict[str, Any]) -> EngineState:
+        images = jnp.asarray(sample_batch["images"])
+        captions, lengths, bert_mask = self._text_inputs(sample_batch)
+        variables = self.model.init(rng, images, captions, lengths,
+                                    bert_mask)
+        params = {"model": variables["params"],
+                  "criterion": init_mcsoft_params(self.criterion_config)}
+        batch_stats = variables.get("batch_stats", {})
+        return EngineState(params=params, batch_stats=batch_stats,
+                           opt_state=self.tx.init(params), step=0)
+
+    def _text_inputs(self, batch):
+        if self.model.not_bert:
+            return (jnp.asarray(batch["captions"]),
+                    jnp.asarray(batch["lengths"]), None)
+        return (jnp.asarray(batch["bert_ids"]),
+                jnp.asarray(batch["bert_mask"]).sum(-1),
+                jnp.asarray(batch["bert_mask"]))
+
+    def set_round_lr(self, state: EngineState, round_n: int) -> EngineState:
+        state.opt_state.hyperparams["learning_rate"] = (
+            self.lr_schedule(round_n))
+        return state
+
+    # -- jitted programs ----------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: EngineState, images, captions, lengths,
+                   bert_mask, dropout_rng
+                   ) -> Tuple[EngineState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            out, mut = self.model.apply(
+                {"params": params["model"],
+                 "batch_stats": state.batch_stats},
+                images, captions, lengths, bert_mask, train=True,
+                mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+            loss, ldict = mcsoft_contrastive_loss(
+                params["criterion"], out["image_features"],
+                out["caption_features"], self.criterion_config)
+            return loss, (mut["batch_stats"], ldict)
+
+        (loss, (batch_stats, ldict)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = EngineState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state, step=state.step + 1)
+        return new_state, ldict
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def extract_step(self, state: EngineState, images, captions, lengths,
+                     bert_mask):
+        """Train-mode BN feature pass (parity: MMFL.py:197-218).
+        Returns (img_feats, txt_feats, new_batch_stats)."""
+        out, mut = self.model.apply(
+            {"params": state.params["model"],
+             "batch_stats": state.batch_stats},
+            images, captions, lengths, bert_mask, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        return (out["image_features"], out["caption_features"],
+                mut["batch_stats"])
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, state: EngineState, images, captions, lengths,
+                  bert_mask):
+        """Eval-mode forward for retrieval evaluation."""
+        out = self.model.apply(
+            {"params": state.params["model"],
+             "batch_stats": state.batch_stats},
+            images, captions, lengths, bert_mask, train=False)
+        return out["image_features"], out["caption_features"]
+
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 7, 8, 9))
+    def distill_step(self, state: EngineState, images, captions, lengths,
+                     bert_mask, targets: Dict[str, jnp.ndarray],
+                     use_img: bool, use_txt: bool, use_mm: bool,
+                     kd_weight: float, dropout_rng=None
+                     ) -> Tuple[EngineState, jnp.ndarray]:
+        """targets: {'img': [B,d], 'txt': [B,d]} gathered rows of the
+        aggregated representations for this batch."""
+        if dropout_rng is None:
+            dropout_rng = jax.random.PRNGKey(0)
+
+        def loss_fn(params):
+            out, mut = self.model.apply(
+                {"params": params["model"],
+                 "batch_stats": state.batch_stats},
+                images, captions, lengths, bert_mask, train=True,
+                mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+            loss = 0.0
+            img_f = out["image_features"].astype(jnp.float32)
+            txt_f = out["caption_features"].astype(jnp.float32)
+
+            def mse(a, b):
+                return jnp.mean(jnp.square(a - b))
+
+            if use_img:
+                loss += kd_weight * mse(img_f, targets["img"])
+            if use_txt:
+                loss += kd_weight * mse(txt_f, targets["txt"])
+            if use_mm:
+                # The reference adds both terms *again* for mm clients
+                # (MMFL.py:371-378); reproduced for parity.
+                loss += kd_weight * mse(img_f, targets["img"])
+                loss += kd_weight * mse(txt_f, targets["txt"])
+            return loss, mut["batch_stats"]
+
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return EngineState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state,
+                           step=state.step + 1), loss

@@ -1,0 +1,60 @@
+"""con_w representation-ensemble aggregation (reference `MMFL.py:291-335`).
+
+Math: for each client k with public-set representations V_k in R^{N x d}
+and the *other-modality* global features G:
+    w_k = diag(log_softmax(V_k @ G.T))          (N-dim, per-sample)
+    alpha = softmax over clients of [w_1 ... w_K]
+    aggregated = sum_k alpha_k * V_k
+
+The reference materialises each 50k x 50k logits matrix on GPU and
+empties the cache between clients (MMFL.py:304-309). Here the diagonal
+and the row log-sum-exp stream blockwise (ops.gallery_log_softmax_diag)
+— peak memory O(row_block x col_block) — and the whole aggregation is one
+jitted program over the stacked client axis, which shard_map distributes
+over the mesh's ``clients`` axis (clients are data-independent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from creamfl_tpu.ops.gallery import gallery_log_softmax_diag
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
+                    row_block: int = 1024,
+                    col_block: int = 8192) -> jnp.ndarray:
+    """[K, N, d] client reps + [N, d] other-modality globals -> [N, d].
+
+    K is the stacked-client axis (a vmap axis, shardable over the mesh).
+    """
+    diag_logprob = jax.vmap(
+        lambda v: gallery_log_softmax_diag(v, global_other,
+                                           row_block=row_block,
+                                           col_block=col_block)
+    )(client_reps)  # [K, N]
+    alpha = jax.nn.softmax(diag_logprob, axis=0)  # softmax over clients
+    return jnp.einsum("kn,knd->nd", alpha, client_reps)
+
+
+def aggregate_modalities(img_reps: Optional[jnp.ndarray],
+                         txt_reps: Optional[jnp.ndarray],
+                         global_img: jnp.ndarray,
+                         global_txt: jnp.ndarray,
+                         row_block: int = 1024,
+                         col_block: int = 8192):
+    """Reference `aggregation()` closure: image reps weight against the
+    global *text* features and vice versa (MMFL.py:298-331)."""
+    img_out = txt_out = None
+    if img_reps is not None and len(img_reps) > 0:
+        img_out = con_w_aggregate(jnp.asarray(img_reps), global_txt,
+                                  row_block=row_block, col_block=col_block)
+    if txt_reps is not None and len(txt_reps) > 0:
+        txt_out = con_w_aggregate(jnp.asarray(txt_reps), global_img,
+                                  row_block=row_block, col_block=col_block)
+    return img_out, txt_out

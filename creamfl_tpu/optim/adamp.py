@@ -1,0 +1,115 @@
+"""AdamP optimizer as an optax gradient transformation.
+
+The reference uses the ``adamp`` pip package (Heo et al., ICLR 2021,
+"AdamP: Slowing Down the Slowdown for Momentum Optimizers on
+Scale-invariant Weights"; reference `src/algorithms/optimizers.py:25-29`).
+Not available here — reimplemented from the published algorithm:
+
+Adam moments -> perturbation ``m_hat / (sqrt(v_hat) + eps)``; for >=2D
+parameters whose gradient is nearly orthogonal to the weight (max |cos|
+over channel and layer views below ``delta / sqrt(view_dim)``), the radial
+component of the perturbation is projected out and decoupled weight decay
+is damped by ``wd_ratio``.
+
+JAX notes: the data-dependent "should project?" branch becomes a
+``jnp.where`` select (both paths are cheap elementwise math), keeping the
+transformation jit-compatible with no host sync.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AdamPState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
+                   delta: float, wd_ratio: float, eps: float):
+    """Channel-view then layer-view projection; returns (perturb, wd)."""
+
+    def cosine_max(x, y, rows):
+        xv = x.reshape(rows, -1).astype(jnp.float32)
+        yv = y.reshape(rows, -1).astype(jnp.float32)
+        dot = jnp.sum(xv * yv, axis=1)
+        nx = jnp.linalg.norm(xv, axis=1)
+        ny = jnp.linalg.norm(yv, axis=1)
+        return jnp.max(jnp.abs(dot) / jnp.maximum(nx * ny, eps))
+
+    def projected(rows):
+        pv = p.reshape(rows, -1).astype(jnp.float32)
+        pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
+        pert_v = perturb.reshape(rows, -1)
+        radial = jnp.sum(pn * pert_v, axis=1, keepdims=True)
+        return (pert_v - pn * radial).reshape(p.shape)
+
+    rows_channel = p.shape[0]
+    channel_dim = math.prod(p.shape[1:])  # static python math (jit-safe)
+    layer_dim = math.prod(p.shape)
+
+    cos_c = cosine_max(g, p, rows_channel)
+    cos_l = cosine_max(g, p, 1)
+    use_c = cos_c < delta / jnp.sqrt(jnp.float32(channel_dim))
+    use_l = jnp.logical_and(jnp.logical_not(use_c),
+                            cos_l < delta / jnp.sqrt(jnp.float32(layer_dim)))
+
+    out = jnp.where(use_c, projected(rows_channel),
+                    jnp.where(use_l, projected(1), perturb))
+    wd = jnp.where(jnp.logical_or(use_c, use_l), wd_ratio, 1.0)
+    return out, wd
+
+
+def adamp(learning_rate: optax.ScalarOrSchedule,
+          b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+          weight_decay: float = 0.0, delta: float = 0.1,
+          wd_ratio: float = 0.1) -> optax.GradientTransformation:
+    """AdamP; returns deltas to add to params (optax convention)."""
+
+    def init_fn(params):
+        return AdamPState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("adamp requires params")
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        lr = (learning_rate(count - 1)
+              if callable(learning_rate) else learning_rate)
+        step_size = lr / bc1
+
+        def leaf_update(p, g, m, v):
+            denom = jnp.sqrt(v / bc2) + eps
+            perturb = m / denom
+            if p.ndim > 1:
+                perturb, wd = _project_views(p, g, perturb, delta,
+                                             wd_ratio, eps)
+            else:
+                wd = jnp.float32(1.0)
+            delta_p = -step_size * perturb
+            if weight_decay > 0:
+                # Decoupled decay p *= (1 - lr*wd*ratio), expressed as delta.
+                delta_p = delta_p - lr * weight_decay * wd * p
+            return delta_p.astype(p.dtype)
+
+        new_updates = jax.tree.map(leaf_update, params, updates, mu, nu)
+        return new_updates, AdamPState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -1,0 +1,63 @@
+"""con_w aggregation golden test vs straightforward NumPy
+(SURVEY.md §2.3 step 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from creamfl_tpu.federation.aggregation import (aggregate_modalities,
+                                                con_w_aggregate)
+
+
+def naive_con_w(client_reps, global_other):
+    k, n, d = client_reps.shape
+    w = np.zeros((k, n))
+    for i, v in enumerate(client_reps):
+        logits = v @ global_other.T
+        log_prob = logits - np.log(
+            np.exp(logits).sum(axis=1, keepdims=True))
+        w[i] = np.diag(log_prob)
+    e = np.exp(w - w.max(axis=0, keepdims=True))
+    alpha = e / e.sum(axis=0, keepdims=True)
+    return (alpha[:, :, None] * client_reps).sum(axis=0)
+
+
+def test_con_w_matches_numpy(rng):
+    k, n, d = 3, 70, 16
+    # L2-normalized reps like the real pipeline (keeps exp() tame).
+    reps = rng.normal(size=(k, n, d)).astype(np.float32)
+    reps /= np.linalg.norm(reps, axis=-1, keepdims=True)
+    g = rng.normal(size=(n, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+
+    got = np.asarray(con_w_aggregate(jnp.asarray(reps), jnp.asarray(g),
+                                     row_block=32, col_block=16))
+    expected = naive_con_w(reps, g)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_aggregate_modalities_cross_weighting(rng):
+    """img reps weight against global *txt* features and vice versa
+    (MMFL.py:304,321)."""
+    k, n, d = 2, 40, 8
+    img = rng.normal(size=(k, n, d)).astype(np.float32)
+    txt = rng.normal(size=(k, n, d)).astype(np.float32)
+    g_img = rng.normal(size=(n, d)).astype(np.float32)
+    g_txt = rng.normal(size=(n, d)).astype(np.float32)
+    for a in (img, txt, g_img, g_txt):
+        a /= np.linalg.norm(a, axis=-1, keepdims=True)
+
+    img_out, txt_out = aggregate_modalities(
+        img, txt, jnp.asarray(g_img), jnp.asarray(g_txt),
+        row_block=16, col_block=16)
+    np.testing.assert_allclose(np.asarray(img_out),
+                               naive_con_w(img, g_txt), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(txt_out),
+                               naive_con_w(txt, g_img), rtol=1e-4,
+                               atol=1e-6)
+
+    only_img, none_txt = aggregate_modalities(img, None,
+                                              jnp.asarray(g_img),
+                                              jnp.asarray(g_txt),
+                                              row_block=16, col_block=16)
+    assert none_txt is None and only_img is not None

@@ -1,0 +1,117 @@
+"""Data pipeline tests: vocab, tokenization, partitioner, loaders."""
+
+import numpy as np
+import pytest
+
+from creamfl_tpu.data.loaders import ArrayLoader, collate_captions
+from creamfl_tpu.data.partition import data_partitioner
+from creamfl_tpu.data.synthetic import (SyntheticCaptionDataset,
+                                        SyntheticImageClassification,
+                                        SyntheticTextClassification)
+from creamfl_tpu.data.tokenize import (BertWordPieceTokenizer,
+                                       caption_to_ids, treebank_tokenize)
+from creamfl_tpu.data.vocab import Vocabulary
+
+
+def test_vocab_roundtrip(tmp_path):
+    v = Vocabulary.build([["a", "cat", "sat"], ["a", "cat", "ran"],
+                          ["a", "cat"], ["a", "cat"]], threshold=3)
+    assert v("a") != v("<unk>")
+    assert v("cat") != v("<unk>")
+    assert v("sat") == v("<unk>")  # below threshold
+    path = str(tmp_path / "vocab.pkl")
+    v.save_to_pickle(path)
+    v2 = Vocabulary().load_from_pickle(path)
+    assert v2.word2idx == v.word2idx
+
+
+def test_treebank_tokenize_basics():
+    toks = treebank_tokenize("A man, riding his bike.")
+    assert "a" in toks and "man" in toks and "," in toks
+    assert all(t == t.lower() for t in toks)
+
+
+def test_caption_to_ids_wraps_and_drops():
+    v = Vocabulary.synthetic(10)
+    ids = caption_to_ids("word1 word2 word3", v, caption_drop_prob=0.0)
+    assert ids[0] == v("<start>") and ids[-1] == v("<end>")
+    assert len(ids) == 5
+
+    import random
+
+    rng = random.Random(0)
+    # With p=1.0: all tokens -> <unk>, then all are deleted.
+    ids = caption_to_ids("word1 word2 word3", v, caption_drop_prob=1.0,
+                         rng=rng)
+    assert ids == [v("<start>"), v("<end>")]
+
+
+def test_dirichlet_partition_covers_all_samples():
+    y = np.arange(200) % 10
+    parts = data_partitioner("cifar100", 200, 4, "hetero", alpha=0.5,
+                             y_train=y, seed=0)
+    all_idx = sorted(i for p in parts.values() for i in p)
+    assert all_idx == list(range(200))
+    assert all(len(p) >= 1 for p in parts.values())
+
+
+def test_partition_pickle_cache(tmp_path):
+    y = np.arange(100) % 4
+    kwargs = dict(partition="hetero", check_dir=str(tmp_path), alpha=0.5,
+                  y_train=y)
+    p1 = data_partitioner("AG_NEWS", 100, 2, seed=1, **kwargs)
+    p2 = data_partitioner("AG_NEWS", 100, 2, seed=999, **kwargs)
+    assert p1 == p2  # second call reads the cached pickle
+
+
+def test_collate_captions_pads_and_clips():
+    out = collate_captions([[1, 2, 3], list(range(1, 30))], max_len=8)
+    assert out["captions"].shape == (2, 8)
+    assert out["lengths"].tolist() == [3, 8]
+    assert out["captions"][0, 3:].tolist() == [0] * 5
+
+
+def test_array_loader_epochs_and_shuffle():
+    ds = SyntheticImageClassification(n=10, image_size=8)
+    ld = ArrayLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                     seed=0)
+    assert len(ld) == 2
+    b1 = [b["labels"].tolist() for b in ld]
+    b2 = [b["labels"].tolist() for b in ld]
+    assert b1 != b2  # reshuffled between epochs
+
+
+def test_synthetic_caption_dataset_deterministic():
+    ds = SyntheticCaptionDataset(n_captions=10, image_size=16, max_len=8,
+                                 captions_per_image=2, seed=3)
+    a, b = ds[4], ds[4]
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["captions"], b["captions"])
+    # Two captions of one image share the image but not the caption.
+    s0, s1 = ds[0], ds[1]
+    assert s0["image_ids"] == s1["image_ids"]
+    np.testing.assert_array_equal(s0["images"], s1["images"])
+    assert not np.array_equal(s0["captions"], s1["captions"])
+    assert ds.n_images == 5
+
+
+def test_synthetic_text_labels_in_range():
+    ds = SyntheticTextClassification(n=20, num_classes=4)
+    labels = {int(ds[i]["labels"]) for i in range(20)}
+    assert labels <= set(range(4))
+
+
+def test_bert_wordpiece_real_matching():
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+             "ride": 4, "##r": 5, "a": 6, ".": 7}
+    tok = BertWordPieceTokenizer(vocab)
+    ids, mask = tok.encode("a rider.", max_length=8)
+    assert ids[0] == 2  # CLS
+    assert ids[1] == 6  # a
+    assert ids[2] == 4 and ids[3] == 5  # ride ##r
+    assert ids[4] == 7  # .
+    assert ids[5] == 3  # SEP
+    assert mask == [1] * 6 + [0] * 2
+
+    ids, _ = tok.encode("zzz", max_length=6)
+    assert ids[1] == 1  # UNK

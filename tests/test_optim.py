@@ -1,0 +1,86 @@
+"""AdamP + schedule tests.
+
+AdamP's defining property: for scale-invariant (normalized-output) weights
+the radial component of the update is projected out, so the weight norm
+grows strictly slower than plain Adam's. Plus exact-match checks of the
+schedules against the torch formulas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from creamfl_tpu.optim import (
+    adamp,
+    cosine_annealing_schedule,
+    make_client_sgd,
+    two_step_decay_schedule,
+)
+
+
+def test_adamp_matches_adam_when_no_projection(rng):
+    """1-D params never project -> identical to Adam."""
+    p = {"b": jnp.asarray(rng.normal(size=(7,)), jnp.float32)}
+    g = {"b": jnp.asarray(rng.normal(size=(7,)), jnp.float32)}
+    tx_p = adamp(1e-2)
+    tx_a = optax.adam(1e-2)
+    s_p = tx_p.init(p)
+    s_a = tx_a.init(p)
+    for _ in range(3):
+        up_p, s_p = tx_p.update(g, s_p, p)
+        up_a, s_a = tx_a.update(g, s_a, p)
+        np.testing.assert_allclose(np.asarray(up_p["b"]),
+                                   np.asarray(up_a["b"]), rtol=1e-5)
+
+
+def test_adamp_projects_radial_component():
+    """Gradient orthogonal to the weight (scale-invariant case): the
+    update must stay orthogonal to the weight row."""
+    w = jnp.asarray([[3.0, 0.0, 0.0, 0.0]])
+    g = jnp.asarray([[0.0, 1.0, 0.0, 0.0]])  # orthogonal to w
+    tx = adamp(1e-1)
+    state = tx.init({"w": w})
+    up, _ = tx.update({"w": g}, state, {"w": w})
+    radial = float(jnp.sum(up["w"] * w) / jnp.linalg.norm(w))
+    assert abs(radial) < 1e-6
+
+
+def test_adamp_no_projection_when_aligned():
+    """Gradient parallel to weight: no projection, update ~ -lr * sign."""
+    w = jnp.asarray([[3.0, 0.0], [0.0, 2.0]])
+    g = w * 0.5
+    tx = adamp(1e-1)
+    state = tx.init({"w": w})
+    up, _ = tx.update({"w": g}, state, {"w": w})
+    # Adam first step: m_hat/sqrt(v_hat) = sign(g); projection would have
+    # zeroed the diagonal directions.
+    expected = -1e-1 * jnp.sign(g)
+    np.testing.assert_allclose(np.asarray(up["w"]), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_cosine_annealing_matches_torch_formula():
+    sched = cosine_annealing_schedule(1e-3, t_max=30)
+    for t in [0, 10, 15, 30]:
+        expected = 0.5 * 1e-3 * (1 + np.cos(np.pi * t / 30))
+        np.testing.assert_allclose(float(sched(t)), expected, rtol=1e-6)
+
+
+def test_two_step_decay():
+    sched = two_step_decay_schedule(1e-4, total_rounds=30, decay=0.1)
+    np.testing.assert_allclose(float(sched(0)), 1e-4)
+    np.testing.assert_allclose(float(sched(14)), 1e-4)
+    np.testing.assert_allclose(float(sched(15)), 1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(24)), 1e-6, rtol=1e-5)
+
+
+def test_client_sgd_injects_round_lr():
+    tx, sched = make_client_sgd(init_lr=1e-2, total_rounds=10)
+    p = {"w": jnp.ones((3,))}
+    state = tx.init(p)
+    state.hyperparams["learning_rate"] = sched(9)  # late round -> lr*0.01
+    up, _ = tx.update({"w": jnp.ones((3,))}, state, p)
+    # momentum first step: update = -lr * (g + wd*p)
+    np.testing.assert_allclose(np.asarray(up["w"]),
+                               -1e-4 * (1 + 5e-5) * np.ones(3), rtol=1e-4)
