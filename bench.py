@@ -1,0 +1,199 @@
+"""Benchmark harness — run on the real TPU chip (default axon platform).
+
+Headline metric: server PCME (ResNet-101 + BERT-base) training-step
+throughput in samples/s — the reference's HOT LOOP 1 (SURVEY.md §3.2),
+391 batches x bs128 per round, and the dominant server-side cost.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
+baseline constant below is an engineering estimate of the reference
+stack's throughput on its documented hardware (torch 1.10 + apex O2 fp16
+on one V100-class GPU): ResNet-101 fwd+bwd at 224^2 ~= 23 GFLOP/sample,
+BERT-base at ~32 tokens ~= 14 GFLOP/sample => ~37 GFLOP/sample; at the
+~35% utilization typical for this mixed conv+transformer torch pipeline
+on 125 TFLOP/s fp16 peak => ~1100 samples/s upper bound, derated for the
+reference's host-side tokenize-in-forward (pcme.py:40-44) and per-batch
+host sync => ~100 samples/s sustained. Treat as order-of-magnitude until
+the reference can be profiled directly.
+
+Also measured (reported in "extra"): the inter-modal contrast step
+against a 50k gallery (client HOT LOOP 4) and con_w aggregation
+(HOT LOOP 6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SERVER_SAMPLES_PER_SEC = 100.0
+
+
+def _rtt() -> float:
+    """Round-trip latency of a trivial dispatch + scalar fetch. The axon
+    tunnel's block_until_ready does not actually synchronize, so all
+    timings below force completion with a scalar host fetch and subtract
+    this latency."""
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones((8, 8))
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _time_scan(step_fn, init_state, to_scalar, iters=10, repeats=3):
+    """Time ``iters`` chained applications of ``step_fn`` compiled as ONE
+    program (lax.scan), completion forced by fetching a scalar."""
+    from jax import lax
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return step_fn(s), None
+
+        s, _ = lax.scan(body, state, None, length=iters)
+        return to_scalar(s)
+
+    float(run(init_state))  # compile + warm
+    rtt = _rtt()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(init_state))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9) / iters
+
+
+def bench_server_step(on_tpu: bool):
+    from creamfl_tpu.config import default_config_path, parse_config
+    from creamfl_tpu.models.bert import BertConfig
+
+    from creamfl_tpu.engine.server import ServerEngine
+
+    cfg = parse_config(default_config_path("coco.yaml"), strict_cast=False)
+    cfg.model.embed_dim = 256
+    if on_tpu:
+        cfg.model.cnn_type = "resnet101"
+        cfg.model.not_bert = False
+        cfg.train.use_bf16 = True
+        batch, img, seqlen = 64, 224, 32
+        bert_cfg = BertConfig()
+    else:  # CPU smoke fallback so the harness always emits a line
+        cfg.model.cnn_type = "resnet10"
+        cfg.model.not_bert = True
+        cfg.model.word_dim = 32
+        cfg.train.use_bf16 = False
+        batch, img, seqlen = 8, 64, 16
+        bert_cfg = BertConfig.tiny()
+    engine = ServerEngine(cfg, vocab_size=30522 if on_tpu else 512,
+                          bert_config=bert_cfg)
+
+    rng = np.random.default_rng(0)
+    sample = {
+        "images": rng.normal(size=(batch, img, img, 3)).astype(np.float32),
+        "captions": rng.integers(
+            1, 400, size=(batch, seqlen)).astype(np.int32),
+        "lengths": np.full((batch,), seqlen, np.int32),
+        "bert_ids": rng.integers(
+            1, 400, size=(batch, seqlen)).astype(np.int32),
+        "bert_mask": np.ones((batch, seqlen), np.int32),
+    }
+    state = engine.init_state(jax.random.PRNGKey(0), sample)
+    images, captions, lengths, bert_mask = (
+        jnp.asarray(sample["images"]),) + engine._text_inputs(sample)
+    key = jax.random.PRNGKey(1)
+
+    def step(state):
+        new_state, _ = engine.train_step(state, images, captions, lengths,
+                                         bert_mask, key)
+        return new_state
+
+    dt = _time_scan(step, state,
+                    lambda s: jnp.sum(s.params["criterion"]["shift"]),
+                    iters=10 if on_tpu else 3)
+    return batch / dt, dt
+
+
+def bench_contrast_step(on_tpu: bool):
+    """bs x 50k inter-modal CE + MOON fwd+bwd (client hot loop)."""
+    from creamfl_tpu.losses.contrast import (combine_inter_intra,
+                                             inter_modal_loss,
+                                             intra_modal_moon_loss)
+
+    n, d, bs = (50000, 256, 128) if on_tpu else (2048, 64, 32)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(bs, d)), jnp.float32)
+    gallery = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(bs, d)), jnp.float32)
+    old = jnp.asarray(rng.normal(size=(bs, d)), jnp.float32)
+    idx = jnp.arange(bs, dtype=jnp.int32)
+
+    def step(f):
+        def loss_fn(f):
+            li = inter_modal_loss(f, gallery, idx, 0.5)
+            lm = intra_modal_moon_loss(f, target, old, 0.5)
+            return combine_inter_intra(lm, li, 0.5, False)
+
+        return f - 1e-3 * jax.grad(loss_fn)(f)
+
+    dt = _time_scan(step, feats, jnp.sum, iters=10)
+    return bs / dt, dt
+
+
+def bench_conw(on_tpu: bool):
+    """con_w aggregation: K clients x (50k x 50k) streamed."""
+    from creamfl_tpu.federation.aggregation import con_w_aggregate
+
+    k, n, d = (5, 50000, 256) if on_tpu else (3, 1024, 64)
+    rng = np.random.default_rng(0)
+    reps = jnp.asarray(rng.normal(size=(k, n, d)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    row_block = 2048 if on_tpu else 256
+    col_block = 8192 if on_tpu else 512
+
+    def step(reps):
+        out = con_w_aggregate(reps, g, row_block=row_block,
+                              col_block=col_block)
+        # Keep the chain data-dependent so scan can't parallelize it.
+        return reps + 1e-6 * out[None, :, :]
+
+    dt = _time_scan(step, reps, jnp.sum, iters=2, repeats=2)
+    return dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    server_sps, server_dt = bench_server_step(on_tpu)
+    contrast_sps, contrast_dt = bench_contrast_step(on_tpu)
+    conw_dt = bench_conw(on_tpu)
+
+    result = {
+        "metric": "server PCME(R101+BERT) train-step throughput"
+                  if on_tpu else "server train-step throughput (CPU smoke)",
+        "value": round(server_sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(server_sps / BASELINE_SERVER_SAMPLES_PER_SEC,
+                             3) if on_tpu else 0.0,
+        "extra": {
+            "platform": platform,
+            "server_step_ms": round(server_dt * 1e3, 2),
+            "contrast_step_samples_per_s": round(contrast_sps, 2),
+            "contrast_step_ms": round(contrast_dt * 1e3, 2),
+            "conw_aggregate_s": round(conw_dt, 4),
+            "baseline_note": "vs estimated 100 samples/s reference "
+                             "(V100 fp16 apex O2; see bench.py docstring)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,8 @@ class MMClientEngine:
         if mutable:
             kwargs["mutable"] = ["batch_stats"]
         if train:
-            kwargs["rngs"] = {"dropout": rng or jax.random.PRNGKey(0)}
+            kwargs["rngs"] = {"dropout": (rng if rng is not None
+                                          else jax.random.PRNGKey(0))}
         return self.model.apply(variables, batch["images"],
                                 batch["captions"], batch["lengths"],
                                 **kwargs)
@@ -98,7 +99,7 @@ class MMClientEngine:
             loss, ldict = mcsoft_contrastive_loss(
                 params["criterion"], out["image_features"],
                 out["caption_features"], self.criterion_config)
-            return loss, (mut["batch_stats"], ldict)
+            return loss, (mut.get("batch_stats", {}), ldict)
 
         (loss, (batch_stats, ldict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -156,7 +157,7 @@ class MMClientEngine:
                                            self.args.loss_scale)
             else:
                 loss = loss_inter + loss_intra
-            return loss, mut["batch_stats"]
+            return loss, mut.get("batch_stats", {})
 
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -114,7 +114,7 @@ class UniClientEngine:
             (x1, _x2, w1, _w2), mut = out
             task = margin_softmax_loss(x1, labels, self.margin)
             center = weight_orthogonality_loss(w1)
-            return task + 0.5 * center, (mut["batch_stats"], x1)
+            return task + 0.5 * center, (mut.get("batch_stats", {}), x1)
 
         (loss, (batch_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(clamped)
@@ -168,7 +168,7 @@ class UniClientEngine:
                                            self.args.loss_scale)
             else:
                 loss = loss_inter + loss_intra
-            return loss, mut["batch_stats"]
+            return loss, mut.get("batch_stats", {})
 
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

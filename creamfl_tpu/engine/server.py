@@ -109,7 +109,7 @@ class ServerEngine:
             loss, ldict = mcsoft_contrastive_loss(
                 params["criterion"], out["image_features"],
                 out["caption_features"], self.criterion_config)
-            return loss, (mut["batch_stats"], ldict)
+            return loss, (mut.get("batch_stats", {}), ldict)
 
         (loss, (batch_stats, ldict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -132,7 +132,7 @@ class ServerEngine:
             mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(0)})
         return (out["image_features"], out["caption_features"],
-                mut["batch_stats"])
+                mut.get("batch_stats", {}))
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def eval_step(self, state: EngineState, images, captions, lengths,
@@ -178,7 +178,7 @@ class ServerEngine:
                 # (MMFL.py:371-378); reproduced for parity.
                 loss += kd_weight * mse(img_f, targets["img"])
                 loss += kd_weight * mse(txt_f, targets["txt"])
-            return loss, mut["batch_stats"]
+            return loss, mut.get("batch_stats", {})
 
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

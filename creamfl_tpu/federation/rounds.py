@@ -1,0 +1,386 @@
+"""Federated orchestration: the CreamFL round loop.
+
+Reference: `src/algorithms/MMFL.py` (class MMFL). Per round
+(MMFL.train, :180):
+  1. server trains one epoch on the 50k public COCO subset;
+  2. global img/txt features are extracted over the public eval loader;
+  3. ``client_num_per_round`` clients are sampled; each runs
+     ``local_epochs`` of task training + public-set inter/intra contrast,
+     then uploads its public-set representations;
+  4. con_w aggregation ensembles the representations;
+  5. the server distills (MSE) against the aggregated targets;
+  6. COCO retrieval eval, best-rsum checkpoint, cosine LR step.
+
+TPU-native structure: every hot path above is a pre-compiled jitted
+program on static shapes; the round loop is thin Python that moves
+*references* (device arrays), never per-element data. Global features
+live on device between phases (the reference round-trips everything
+through host RAM, MMFL.py:209-216). Client snapshots for MOON are param
+pytrees, not module deep-copies.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creamfl_tpu.engine.client_mm import MMClientEngine
+from creamfl_tpu.engine.client_uni import UniClientEngine
+from creamfl_tpu.engine.evaluator import RetrievalEvaluator
+from creamfl_tpu.engine.server import ServerEngine
+from creamfl_tpu.federation.aggregation import aggregate_modalities
+from creamfl_tpu.utils.logging import NoOpTracker, PythonLogger
+from creamfl_tpu.utils.serialize import save_checkpoint
+
+
+class ClientHandle:
+    """One federated client: family engine + its own state + data."""
+
+    def __init__(self, kind: str, engine, state, train_loader,
+                 client_id: int):
+        self.kind = kind  # 'img' | 'txt' | 'mm'
+        self.engine = engine
+        self.state = state
+        self.train_loader = train_loader
+        self.client_id = client_id
+        self.client_idx = -1  # global index, assigned by MMFL
+
+
+class MMFL:
+    def __init__(self, args, datasets: Dict, server_config,
+                 mm_config=None, tracker=None, logger=None,
+                 bert_config=None):
+        """datasets: output of a pipeline builder (see
+        creamfl_tpu.data.pipelines.build_datasets): keys
+        pub_train / pub_eval / test loaders, img_clients / txt_clients /
+        mm_clients loader lists, img/txt test loaders, vocab, num classes.
+        """
+        self.args = args
+        self.datasets = datasets
+        self.logger = logger or PythonLogger()
+        self.tracker = tracker or NoOpTracker()
+        self.rng = random.Random(args.seed)
+        self.key = jax.random.PRNGKey(args.seed)
+
+        vocab_size = len(datasets["vocab"])
+        self.server = ServerEngine(server_config, vocab_size,
+                                   mlp_local=args.mlp_local,
+                                   bert_config=bert_config)
+        self.server.kd_weight = args.kd_weight
+        self.evaluator = RetrievalEvaluator(
+            n_crossfolds=datasets.get("n_crossfolds", 5),
+            n_images_per_crossfold=datasets.get("n_images_per_crossfold",
+                                                1000),
+            n_captions_per_crossfold=datasets.get(
+                "n_captions_per_crossfold", 5000),
+            logger=self.logger)
+
+        self.clients: List[ClientHandle] = []
+        self._build_clients(mm_config, vocab_size)
+
+        # Server state
+        sample = next(iter(datasets["pub_train"]))
+        self.key, sub = jax.random.split(self.key)
+        self.server_state = self.server.init_state(sub, sample)
+
+        self.best_score = 0.0
+        self.best_scores = None
+        self.best_metadata = None
+        self.global_img_feature = None
+        self.global_txt_feature = None
+        self.distill_index = None
+
+    # ------------------------------------------------------------------
+    def _build_clients(self, mm_config, vocab_size):
+        args = self.args
+        ds = self.datasets
+        if args.num_img_clients > 0 and ds.get("img_clients"):
+            engine = UniClientEngine("img", ds["img_num_class"], args)
+            sample = next(iter(ds["img_clients"][0]))
+            for i, loader in enumerate(ds["img_clients"]):
+                self.key, sub = jax.random.split(self.key)
+                state = engine.init_state(sub, sample)
+                self.clients.append(ClientHandle("img", engine, state,
+                                                 loader, i))
+        if args.num_txt_clients > 0 and ds.get("txt_clients"):
+            engine = UniClientEngine("txt", ds["txt_num_class"], args,
+                                     vocab_size=vocab_size)
+            sample = next(iter(ds["txt_clients"][0]))
+            for i, loader in enumerate(ds["txt_clients"]):
+                self.key, sub = jax.random.split(self.key)
+                state = engine.init_state(sub, sample)
+                self.clients.append(ClientHandle("txt", engine, state,
+                                                 loader, i))
+        if args.num_mm_clients > 0 and ds.get("mm_clients"):
+            engine = MMClientEngine(mm_config, vocab_size, args,
+                                    mlp_local=args.mlp_local)
+            sample = next(iter(ds["mm_clients"][0]))
+            for i, loader in enumerate(ds["mm_clients"]):
+                self.key, sub = jax.random.split(self.key)
+                state = engine.init_state(sub, sample)
+                self.clients.append(ClientHandle("mm", engine, state,
+                                                 loader, i))
+        for i, c in enumerate(self.clients):
+            c.client_idx = i + 1
+
+    # ------------------------------------------------------------------
+    def _server_inputs(self, batch):
+        images = jnp.asarray(batch["images"])
+        captions, lengths, bert_mask = self.server._text_inputs(batch)
+        return images, captions, lengths, bert_mask
+
+    def _server_train_epoch(self):
+        losses = []
+        for batch in self.datasets["pub_train"]:
+            images, captions, lengths, bert_mask = self._server_inputs(
+                batch)
+            self.key, sub = jax.random.split(self.key)
+            self.server_state, ldict = self.server.train_step(
+                self.server_state, images, captions, lengths, bert_mask,
+                sub)
+            losses.append(ldict["loss"])
+        if losses:
+            self.logger.log(
+                f"server epoch loss {float(jnp.mean(jnp.stack(losses))):.2f}")
+
+    def _extract_global_features(self):
+        img_parts, txt_parts, index_parts = [], [], []
+        for batch in self.datasets["pub_eval"]:
+            images, captions, lengths, bert_mask = self._server_inputs(
+                batch)
+            img_f, txt_f, bs = self.server.extract_step(
+                self.server_state, images, captions, lengths, bert_mask)
+            self.server_state = self.server_state.replace(batch_stats=bs)
+            valid = np.asarray(batch["valid"])
+            img_parts.append(np.asarray(img_f)[valid])
+            txt_parts.append(np.asarray(txt_f)[valid])
+            index_parts.append(np.asarray(batch["index"])[valid])
+        self.global_img_feature = jnp.asarray(np.concatenate(img_parts))
+        self.global_txt_feature = jnp.asarray(np.concatenate(txt_parts))
+        self.distill_index = np.concatenate(index_parts).astype(np.int64)
+        self._distill_pos = {int(v): i
+                             for i, v in enumerate(self.distill_index)}
+
+    def _batch_rows(self, batch) -> jnp.ndarray:
+        """Map dataset indices of a public batch to rows of the global
+        feature matrices (reference distill_dict, MMFL.py:343)."""
+        return jnp.asarray([self._distill_pos[int(i)]
+                            for i in np.asarray(batch["index"])],
+                           jnp.int32)
+
+    # -- client execution ---------------------------------------------
+    def _run_uni_client(self, client: ClientHandle, round_n: int):
+        engine: UniClientEngine = client.engine
+        args = self.args
+        old_params = client.state.params
+        old_bs = client.state.batch_stats
+        client.state = engine.set_round_lr(client.state, round_n)
+        do_inter = args.contrast_local_inter
+        do_intra = args.contrast_local_intra
+        same = (self.global_img_feature if client.kind == "img"
+                else self.global_txt_feature)
+        other = (self.global_txt_feature if client.kind == "img"
+                 else self.global_img_feature)
+        for _ in range(args.local_epochs):
+            for batch in client.train_loader:
+                client.state, metrics = engine.task_step(
+                    client.state, _device_batch(batch))
+            if do_inter or do_intra:
+                for batch in self.datasets["pub_train"]:
+                    globals_ = {"same": same, "other": other,
+                                "index": self._batch_rows(batch)}
+                    client.state, _ = engine.contrast_step(
+                        client.state, old_params, old_bs,
+                        _device_batch(batch), globals_,
+                        do_inter, do_intra)
+        # local test (top-1/top-k)
+        test_loader = self.datasets.get(f"{client.kind}_test")
+        if test_loader is not None:
+            c1 = ck = n = 0.0
+            for batch in test_loader:
+                a, b, m = engine.test_step(client.state,
+                                           _device_batch(batch))
+                c1 += float(a); ck += float(b); n += float(m)
+            if n:
+                self.logger.log(
+                    f"client {client.client_idx} ({client.kind}) "
+                    f"top1 {100*c1/n:.2f} topk {100*ck/n:.2f}")
+
+    def _uni_client_reps(self, client: ClientHandle):
+        parts, idx_parts = [], []
+        for batch in self.datasets["pub_eval"]:
+            feats = client.engine.features_step(client.state,
+                                                _device_batch(batch))
+            valid = np.asarray(batch["valid"])
+            parts.append(np.asarray(feats)[valid])
+            idx_parts.append(np.asarray(batch["index"])[valid])
+        order = np.concatenate(idx_parts)
+        assert np.array_equal(order, self.distill_index), \
+            "public-set iteration order changed between phases"
+        vec = np.concatenate(parts)
+        if client.kind == "img":
+            return {"img": vec, "txt": None}
+        return {"img": None, "txt": vec}
+
+    def _run_mm_client(self, client: ClientHandle, round_n: int):
+        engine: MMClientEngine = client.engine
+        args = self.args
+        old_params = client.state.params
+        old_bs = client.state.batch_stats
+        client.state = engine.set_round_lr(client.state, round_n)
+        do_inter = args.contrast_local_inter
+        do_intra = args.contrast_local_intra
+        for _ in range(args.local_epochs):
+            for batch in client.train_loader:
+                self.key, sub = jax.random.split(self.key)
+                client.state, _ = engine.local_step(
+                    client.state, _device_batch(batch), sub)
+            if do_inter or do_intra:
+                for batch in self.datasets["pub_train"]:
+                    globals_ = {"img": self.global_img_feature,
+                                "txt": self.global_txt_feature,
+                                "index": self._batch_rows(batch)}
+                    client.state, _ = engine.contrast_step(
+                        client.state, old_params, old_bs,
+                        _device_batch(batch), globals_,
+                        do_inter, do_intra)
+
+    def _mm_client_reps(self, client: ClientHandle):
+        img_parts, txt_parts = [], []
+        for batch in self.datasets["pub_eval"]:
+            fi, ft = client.engine.features_step(client.state,
+                                                 _device_batch(batch))
+            valid = np.asarray(batch["valid"])
+            img_parts.append(np.asarray(fi)[valid])
+            txt_parts.append(np.asarray(ft)[valid])
+        return {"img": np.concatenate(img_parts),
+                "txt": np.concatenate(txt_parts)}
+
+    # -- distillation ---------------------------------------------------
+    def _distill(self, img_vecs, txt_vecs):
+        args = self.args
+        img_agg, txt_agg = aggregate_modalities(
+            np.stack(img_vecs) if img_vecs else None,
+            np.stack(txt_vecs) if txt_vecs else None,
+            self.global_img_feature, self.global_txt_feature)
+        self.img_vec, self.txt_vec = img_agg, txt_agg
+        use_img = args.num_img_clients > 0 and img_agg is not None
+        use_txt = args.num_txt_clients > 0 and txt_agg is not None
+        use_mm = (args.num_mm_clients > 0 and img_agg is not None
+                  and txt_agg is not None)
+        if not (use_img or use_txt or use_mm):
+            return
+        zeros = jnp.zeros_like(self.global_img_feature[:1])
+        for batch in self.datasets["pub_train"]:
+            rows = self._batch_rows(batch)
+            targets = {
+                "img": (jnp.take(img_agg, rows, axis=0)
+                        if img_agg is not None else zeros),
+                "txt": (jnp.take(txt_agg, rows, axis=0)
+                        if txt_agg is not None else zeros),
+            }
+            images, captions, lengths, bert_mask = self._server_inputs(
+                batch)
+            self.key, sub = jax.random.split(self.key)
+            self.server_state, _ = self.server.distill_step(
+                self.server_state, images, captions, lengths, bert_mask,
+                targets, use_img, use_txt, use_mm, args.kd_weight, sub)
+
+    # -- evaluation -----------------------------------------------------
+    def _extract_eval(self, batch):
+        images, captions, lengths, bert_mask = self._server_inputs(batch)
+        return self.server.eval_step(self.server_state, images, captions,
+                                     lengths, bert_mask)
+
+    def evaluate(self) -> Dict:
+        return self.evaluator.evaluate(self.datasets["test"],
+                                       self._extract_eval)
+
+    # ------------------------------------------------------------------
+    def train(self, round_n: int) -> Dict:
+        args = self.args
+        self.logger.log(f"Round {round_n + 1}!")
+        self.server_state = self.server.set_round_lr(self.server_state,
+                                                     round_n)
+        self._server_train_epoch()
+
+        cur = self.clients
+        if len(self.clients) > args.client_num_per_round:
+            cur = self.rng.sample(self.clients, args.client_num_per_round)
+
+        need_globals = (args.agg_method == "con_w"
+                        or args.contrast_local_inter
+                        or args.contrast_local_intra)
+        if need_globals:
+            self._extract_global_features()
+
+        img_vecs, txt_vecs = [], []
+        for client in cur:
+            self.logger.log(f"Training Client {client.client_idx} "
+                            f"({client.kind})!")
+            if client.kind == "mm":
+                self._run_mm_client(client, round_n)
+                reps = self._mm_client_reps(client)
+            else:
+                self._run_uni_client(client, round_n)
+                reps = self._uni_client_reps(client)
+            if reps["img"] is not None:
+                img_vecs.append(reps["img"])
+            if reps["txt"] is not None:
+                txt_vecs.append(reps["txt"])
+
+        if not args.disable_distill and (img_vecs or txt_vecs):
+            if args.agg_method != "con_w":
+                raise NotImplementedError(args.agg_method)
+            self.logger.log("start distilling")
+            self._distill(img_vecs, txt_vecs)
+
+        scores = self.evaluate()
+        rsum = self._report(round_n, scores)
+
+        if rsum > self.best_score:
+            self.best_score = rsum
+            self.best_scores = scores
+            self.best_metadata = {"best_epoch": round_n + 1,
+                                  "best_score": rsum}
+            self._save(f"{args.name}-best_model.ckpt")
+        if round_n == args.comm_rounds - 1:
+            self._save(f"{args.name}-last_model.ckpt")
+        return scores
+
+    def _report(self, round_n: int, scores: Dict) -> float:
+        n_fold = scores.get("n_fold", {"i2t": {"recall_1": 0.0},
+                                       "t2i": {"recall_1": 0.0}})
+        rsum = (n_fold["i2t"]["recall_1"] + n_fold["t2i"]["recall_1"]
+                + scores["i2t"]["recall_1"] + scores["t2i"]["recall_1"])
+        self.tracker.log({"Server rsum_r1": rsum,
+                          "Server i2t_r1": scores["i2t"]["recall_1"],
+                          "Server t2i_r1": scores["t2i"]["recall_1"]},
+                         step=round_n)
+        self.logger.report(round_n + 1, {
+            "rsum_r1": rsum,
+            "i2t_r1": scores["i2t"]["recall_1"],
+            "t2i_r1": scores["t2i"]["recall_1"],
+        })
+        return rsum
+
+    def _save(self, name: str):
+        path = os.path.join(getattr(self.args, "exp_dir", "."), name)
+        save_checkpoint(path, {
+            "params": self.server_state.params,
+            "batch_stats": self.server_state.batch_stats,
+            "round": int(self.server_state.step),
+        })
+
+
+def _device_batch(batch) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            out[k] = jnp.asarray(v)
+    return out

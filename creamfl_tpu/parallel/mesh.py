@@ -1,0 +1,57 @@
+"""Mesh and sharding helpers.
+
+The reference is a single-GPU, single-process simulation: clients run
+sequentially and "communication" is host-RAM tensor handoff (SURVEY.md
+§2.1). The TPU-native layout replaces all of that with one device mesh:
+
+  axes ("client", "data"):
+    * server training / distillation / eval: batch sharded over the
+      whole mesh (pure DP; the models are far below TP scale).
+    * client local training: the stacked client axis of each family's
+      parameter pytree is sharded over "client"; each device trains its
+      resident clients; no cross-device traffic during local epochs.
+    * global features: replicated (the broadcast of MMFL.py:229 becomes
+      a replicated sharding — XLA all-gathers once over ICI).
+    * con_w aggregation: per-client weight rows computed where the
+      client reps live, then a psum-weighted reduction over "client".
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_client: Optional[int] = None,
+              n_data: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_client is None and n_data is None:
+        n_client, n_data = n, 1
+    elif n_client is None:
+        n_client = n // n_data
+    elif n_data is None:
+        n_data = n // n_client
+    assert n_client * n_data == n, (n_client, n_data, n)
+    arr = np.asarray(devices).reshape(n_client, n_data)
+    return Mesh(arr, axis_names=("client", "data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharding over one mesh axis (or both for server DP)."""
+    if axis == "all":
+        return NamedSharding(mesh, P(("client", "data")))
+    return NamedSharding(mesh, P(axis))
+
+
+def client_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for stacked client pytrees."""
+    return NamedSharding(mesh, P("client"))

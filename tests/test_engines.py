@@ -1,0 +1,100 @@
+"""Engine integration tests on minuscule shapes (single jitted steps)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from creamfl_tpu.config import default_config_path, parse_config
+from creamfl_tpu.engine.client_uni import UniClientEngine
+from creamfl_tpu.engine.server import ServerEngine
+
+
+def _args(**kw):
+    base = dict(img_model_local="resnet10", feature_dim=16,
+                mlp_local=False, interintra_weight=0.5, loss_scale=False)
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def txt_engine():
+    return UniClientEngine("txt", num_class=4, args=_args(), vocab_size=30)
+
+
+@pytest.fixture(scope="module")
+def txt_state(txt_engine):
+    batch = {"captions": np.ones((4, 6), np.int32),
+             "lengths": np.full((4,), 6, np.int32),
+             "labels": np.zeros((4,), np.int32)}
+    return txt_engine.init_state(jax.random.PRNGKey(0), batch), batch
+
+
+def test_uni_task_step_clamps_and_learns(txt_engine, txt_state):
+    state, batch = txt_state
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, m1 = txt_engine.task_step(state, batch)
+    # The head clamp is applied pre-forward and persisted: the new kernel
+    # equals relu(old) + sgd_delta, so it can only dip below zero by the
+    # (lr-sized) update magnitude, never by the original negative mass.
+    assert float(jnp.min(s1.params["class_fc"]["kernel"])) > -1e-2
+    for _ in range(5):
+        s1, m = txt_engine.task_step(s1, batch)
+    assert float(m["loss"]) < float(m1["loss"])
+
+
+def test_uni_contrast_step_runs_and_descends(txt_engine, txt_state):
+    state, batch = txt_state
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    n_pub, d = 20, 16
+    rng = np.random.default_rng(0)
+    g_img = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+    g_txt = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+    globals_ = {"same": g_txt, "other": g_img,
+                "index": jnp.arange(4, dtype=jnp.int32)}
+    old_params = state.params
+    losses = []
+    s = state
+    for _ in range(4):
+        s, loss = txt_engine.contrast_step(s, old_params,
+                                           state.batch_stats, batch,
+                                           globals_, True, True)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_uni_features_normalized(txt_engine, txt_state):
+    state, batch = txt_state
+    feats = txt_engine.features_step(state,
+                                     {k: jnp.asarray(v)
+                                      for k, v in batch.items()})
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=1),
+                               1.0, rtol=1e-4)
+
+
+def test_server_distill_step_moves_towards_targets():
+    cfg = parse_config(default_config_path("coco.yaml"), strict_cast=False)
+    cfg.model.embed_dim = 16
+    cfg.model.cnn_type = "resnet10"
+    cfg.model.not_bert = True
+    cfg.model.word_dim = 8
+    cfg.train.use_bf16 = False
+    cfg.optimizer.learning_rate = 1e-3
+    engine = ServerEngine(cfg, vocab_size=30)
+    batch = {"images": np.zeros((2, 32, 32, 3), np.float32),
+             "captions": np.ones((2, 5), np.int32),
+             "lengths": np.full((2,), 5, np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    images = jnp.asarray(batch["images"])
+    captions, lengths, bert_mask = engine._text_inputs(batch)
+    targets = {"img": jnp.ones((2, 16)) / 4.0,
+               "txt": jnp.ones((2, 16)) / 4.0}
+    losses = []
+    for i in range(4):
+        state, loss = engine.distill_step(
+            state, images, captions, lengths, bert_mask, targets,
+            True, True, False, 0.3, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
