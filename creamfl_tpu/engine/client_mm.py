@@ -58,10 +58,14 @@ class MMClientEngine:
         self.tau = 0.5
 
     def init_state(self, rng, sample_batch) -> EngineState:
-        variables = self.model.init(
-            rng, jnp.asarray(sample_batch["images"]),
-            jnp.asarray(sample_batch["captions"]),
-            jnp.asarray(sample_batch["lengths"]))
+        return self._init_program(rng, jnp.asarray(sample_batch["images"]),
+                                  jnp.asarray(sample_batch["captions"]),
+                                  jnp.asarray(sample_batch["lengths"]))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _init_program(self, rng, images, captions, lengths) -> EngineState:
+        # Single compiled init (see ServerEngine._init_program).
+        variables = self.model.init(rng, images, captions, lengths)
         params = {"model": variables["params"],
                   "criterion": init_mcsoft_params(self.criterion_config)}
         return EngineState(params=params,

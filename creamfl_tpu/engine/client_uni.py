@@ -83,12 +83,16 @@ class UniClientEngine:
 
     def init_state(self, rng, sample_batch) -> EngineState:
         if self.modality == "img":
-            variables = self.model.init(
-                rng, jnp.asarray(sample_batch["images"]), False, "train")
+            args = (jnp.asarray(sample_batch["images"]),)
         else:
-            variables = self.model.init(
-                rng, jnp.asarray(sample_batch["captions"]),
-                jnp.asarray(sample_batch["lengths"]), False, "train")
+            args = (jnp.asarray(sample_batch["captions"]),
+                    jnp.asarray(sample_batch["lengths"]))
+        return self._init_program(rng, *args)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _init_program(self, rng, *args) -> EngineState:
+        # Single compiled init (see ServerEngine._init_program).
+        variables = self.model.init(rng, *args, False, "train")
         params = variables["params"]
         return EngineState(params=params,
                            batch_stats=variables.get("batch_stats", {}),

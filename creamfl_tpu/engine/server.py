@@ -74,6 +74,14 @@ class ServerEngine:
     def init_state(self, rng, sample_batch: Dict[str, Any]) -> EngineState:
         images = jnp.asarray(sample_batch["images"])
         captions, lengths, bert_mask = self._text_inputs(sample_batch)
+        return self._init_program(rng, images, captions, lengths,
+                                  bert_mask)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _init_program(self, rng, images, captions, lengths,
+                      bert_mask) -> EngineState:
+        # One compiled program: eager init would dispatch hundreds of
+        # ops (deadly over a remote-TPU tunnel at ~25ms RTT each).
         variables = self.model.init(rng, images, captions, lengths,
                                     bert_mask)
         params = {"model": variables["params"],

@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from creamfl_tpu.ops import dispatch
 from creamfl_tpu.ops.gallery import gallery_log_softmax_diag
 
 
@@ -31,13 +32,19 @@ def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
                     col_block: int = 8192) -> jnp.ndarray:
     """[K, N, d] client reps + [N, d] other-modality globals -> [N, d].
 
-    K is the stacked-client axis (a vmap axis, shardable over the mesh).
+    K (the stacked-client axis) is small and static, so the per-client
+    streamed diagonals unroll; on TPU each is the Pallas kernel.
     """
-    diag_logprob = jax.vmap(
-        lambda v: gallery_log_softmax_diag(v, global_other,
-                                           row_block=row_block,
-                                           col_block=col_block)
-    )(client_reps)  # [K, N]
+    if dispatch._pallas_active():
+        diag_logprob = jnp.stack([
+            dispatch.conw_diag_log_softmax(client_reps[k], global_other)
+            for k in range(client_reps.shape[0])])
+    else:
+        diag_logprob = jax.vmap(
+            lambda v: gallery_log_softmax_diag(v, global_other,
+                                               row_block=row_block,
+                                               col_block=col_block)
+        )(client_reps)  # [K, N]
     alpha = jax.nn.softmax(diag_logprob, axis=0)  # softmax over clients
     return jnp.einsum("kn,knd->nd", alpha, client_reps)
 

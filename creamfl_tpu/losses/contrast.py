@@ -19,15 +19,21 @@ import jax.numpy as jnp
 from jax import lax
 
 from creamfl_tpu.losses.classification import cross_entropy
+from creamfl_tpu.ops import dispatch
 from creamfl_tpu.ops.gallery import gallery_cross_entropy
 
 
 def inter_modal_loss(feats: jnp.ndarray, global_other: jnp.ndarray,
                      batch_index: jnp.ndarray, tau: float = 0.5,
                      blockwise: bool = False) -> jnp.ndarray:
-    """CE(f @ G_other.T / tau, batch_index); gallery is constant."""
-    return gallery_cross_entropy(feats, global_other, batch_index, tau=tau,
-                                 blockwise=blockwise)
+    """CE(f @ G_other.T / tau, batch_index); gallery is constant.
+
+    Dispatches to the fused Pallas kernel on TPU; ``blockwise`` selects
+    the rematerialised XLA scan on other backends."""
+    if blockwise:
+        return gallery_cross_entropy(feats, global_other, batch_index,
+                                     tau=tau, blockwise=True)
+    return dispatch.gallery_ce(feats, global_other, batch_index, tau)
 
 
 def intra_modal_moon_loss(feats: jnp.ndarray, target_feats: jnp.ndarray,
