@@ -143,7 +143,8 @@ def bench_contrast_step(on_tpu: bool):
 
         return f - 1e-3 * jax.grad(loss_fn)(f)
 
-    dt = _time_scan(step, feats, jnp.sum, iters=10)
+    # Cheap step: many iterations so the chain dwarfs the tunnel RTT.
+    dt = _time_scan(step, feats, jnp.sum, iters=200 if on_tpu else 10)
     return bs / dt, dt
 
 

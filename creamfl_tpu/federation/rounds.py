@@ -34,6 +34,7 @@ from creamfl_tpu.engine.client_uni import UniClientEngine
 from creamfl_tpu.engine.evaluator import RetrievalEvaluator
 from creamfl_tpu.engine.server import ServerEngine
 from creamfl_tpu.federation.aggregation import aggregate_modalities
+from creamfl_tpu.utils.checkpoint import RoundCheckpointer
 from creamfl_tpu.utils.logging import NoOpTracker, PythonLogger
 from creamfl_tpu.utils.serialize import save_checkpoint
 
@@ -94,6 +95,40 @@ class MMFL:
         self.global_img_feature = None
         self.global_txt_feature = None
         self.distill_index = None
+
+        ckpt_dir = getattr(args, "ckpt_dir", None)
+        self.checkpointer = (RoundCheckpointer(ckpt_dir)
+                             if ckpt_dir else None)
+
+    # -- checkpoint / resume -------------------------------------------
+    def save_round(self, round_n: int) -> Optional[str]:
+        if self.checkpointer is None:
+            return None
+        return self.checkpointer.save(round_n, {
+            "server": self.server_state,
+            "clients": [c.state for c in self.clients],
+            "meta": {"best_score": self.best_score,
+                     "round": round_n},
+        })
+
+    def resume(self) -> int:
+        """Restore the latest round checkpoint; returns the next round
+        index to run (0 if nothing to restore)."""
+        if self.checkpointer is None:
+            return 0
+        template = {"server": self.server_state,
+                    "clients": [c.state for c in self.clients],
+                    "meta": {"best_score": 0.0, "round": 0}}
+        restored = self.checkpointer.restore(template=template)
+        if restored is None:
+            return 0
+        self.server_state = jax.tree.map(jnp.asarray, restored["server"])
+        for c, s in zip(self.clients, restored["clients"]):
+            c.state = jax.tree.map(jnp.asarray, s)
+        self.best_score = float(restored["meta"].get("best_score", 0.0))
+        next_round = int(restored["meta"]["round"]) + 1
+        self.logger.log(f"resumed from round {next_round - 1}")
+        return next_round
 
     # ------------------------------------------------------------------
     def _build_clients(self, mm_config, vocab_size):
@@ -351,6 +386,7 @@ class MMFL:
             self._save(f"{args.name}-best_model.ckpt")
         if round_n == args.comm_rounds - 1:
             self._save(f"{args.name}-last_model.ckpt")
+        self.save_round(round_n)
         return scores
 
     def _report(self, round_n: int, scores: Dict) -> float:

@@ -91,6 +91,10 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--vocab_path', type=str, default=None)
     parser.add_argument('--bert_vocab', type=str, default=None)
     parser.add_argument('--wandb', action='store_true', default=False)
+    parser.add_argument('--ckpt_dir', type=str, default=None,
+                        help='round-checkpoint directory (enables resume)')
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help='resume from the latest round checkpoint')
 
 
 def build_configs(args):
@@ -166,7 +170,8 @@ def run(args) -> None:
 
     algo = MMFL(args, datasets, server_cfg, mm_cfg, tracker=tracker,
                 logger=logger, bert_config=bert_cfg)
-    for round_n in range(args.comm_rounds):
+    start_round = algo.resume() if args.resume else 0
+    for round_n in range(start_round, args.comm_rounds):
         algo.train(round_n)
     logger.log("Best:")
     if algo.best_scores is not None:
