@@ -30,22 +30,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
+@functools.partial(jax.jit, static_argnames=("block_size", "sims_fn"))
 def best_positive_ranks(q_features: jnp.ndarray, g_features: jnp.ndarray,
                         q_labels: jnp.ndarray, g_labels: jnp.ndarray,
-                        block_size: int = 1024) -> jnp.ndarray:
+                        block_size: int = 1024,
+                        sims_fn=None) -> jnp.ndarray:
     """For each query, rank (0-based) of its best-ranked positive.
 
     Equivalent to: stable-argsort gallery by descending similarity, take
-    min position over items with g_label == q_label.
+    min position over items with g_label == q_label. ``sims_fn(q_blk,
+    gallery) -> [b, N]`` overrides the similarity (matching_prob mode).
     """
     n_g = g_features.shape[0]
     g_idx = jnp.arange(n_g)
 
     def one_block(q_blk, ql_blk):
-        sims = jnp.dot(q_blk.astype(jnp.float32),
-                       g_features.astype(jnp.float32).T,
-                       preferred_element_type=jnp.float32)  # [b, N]
+        if sims_fn is not None:
+            sims = sims_fn(q_blk, g_features).astype(jnp.float32)
+        else:
+            sims = jnp.dot(q_blk.astype(jnp.float32),
+                           g_features.astype(jnp.float32).T,
+                           preferred_element_type=jnp.float32)  # [b, N]
         pos_mask = ql_blk[:, None] == g_labels[None, :]
         # Best positive: max sim, ties -> smallest index.
         pos_sims = jnp.where(pos_mask, sims, -jnp.inf)
@@ -90,12 +95,32 @@ class RetrievalEvaluator:
                  n_images_per_crossfold: int = 1000,
                  n_captions_per_crossfold: int = 5000,
                  eval_batch_size: int = 1024,
+                 eval_method: str = "matmul",
+                 criterion_params=None,
                  logger=None):
         self.n_crossfolds = n_crossfolds
         self.n_images_per_crossfold = n_images_per_crossfold
         self.n_captions_per_crossfold = n_captions_per_crossfold
         self.eval_batch_size = eval_batch_size
         self.logger = logger
+        self.eval_method = eval_method
+        self._sims_fn = None
+        if eval_method == "matching_prob":
+            # Rank by PCME match probability (reference
+            # eval_coco.py:54-72 MatchingProbModule); requires the
+            # criterion's learnable shift/negative_scale.
+            from creamfl_tpu.losses.mcsoft import match_prob
+
+            assert criterion_params is not None
+
+            def _sims(q_blk, gallery, _cp=criterion_params):
+                return match_prob(_cp, q_blk, gallery)
+
+            # A def'd closure (hashable by id, stable per evaluator)
+            # keeps the jit static-arg cache happy.
+            self._sims_fn = _sims
+        elif eval_method != "matmul":
+            raise ValueError(f"unknown eval_method {eval_method!r}")
 
     # -- feature extraction (host-side dedup/alignment) ----------------
     def extract_features(self, loader, extract_fn: Callable) -> Dict:
@@ -146,7 +171,8 @@ class RetrievalEvaluator:
         ranks = np.asarray(best_positive_ranks(
             jnp.asarray(q_features), jnp.asarray(g_features),
             jnp.asarray(q_labels), jnp.asarray(g_labels),
-            block_size=min(self.eval_batch_size, max(1, len(q_features)))))
+            block_size=min(self.eval_batch_size, max(1, len(q_features))),
+            sims_fn=self._sims_fn))
         return _recall_scores(ranks)
 
     def evaluate_n_fold(self, feats: Dict) -> Dict:

@@ -296,6 +296,86 @@ class MMFL:
         return {"img": np.concatenate(img_parts),
                 "txt": np.concatenate(txt_parts)}
 
+    # -- stacked (client-parallel) group execution ---------------------
+    def _run_group(self, kind: str, members: List[ClientHandle],
+                   round_n: int, img_vecs: List, txt_vecs: List):
+        """Interleaved local training for one family: per-epoch, each
+        client's task epoch runs on its own loader (exact reference
+        order, ClientTrainer.run), then one *stacked* contrast pass
+        advances all members together; reps extract stacked."""
+        from creamfl_tpu.federation import stacked as S
+
+        args = self.args
+        engine = members[0].engine
+        do_inter = args.contrast_local_inter
+        do_intra = args.contrast_local_intra
+        old_params = [c.state.params for c in members]
+        old_bs = [c.state.batch_stats for c in members]
+        for c in members:
+            c.state = engine.set_round_lr(c.state, round_n)
+
+        for _ in range(args.local_epochs):
+            for c in members:
+                for batch in c.train_loader:
+                    if kind == "mm":
+                        self.key, sub = jax.random.split(self.key)
+                        c.state, _ = engine.local_step(
+                            c.state, _device_batch(batch), sub)
+                    else:
+                        c.state, _ = engine.task_step(
+                            c.state, _device_batch(batch))
+            if do_inter or do_intra:
+                states = [c.state for c in members]
+                if kind == "mm":
+                    states = S.stacked_mm_contrast_epoch(
+                        engine, states, old_params, old_bs,
+                        self.datasets["pub_train"],
+                        self.global_img_feature, self.global_txt_feature,
+                        self._batch_rows, do_inter, do_intra,
+                        _device_batch)
+                else:
+                    same = (self.global_img_feature if kind == "img"
+                            else self.global_txt_feature)
+                    other = (self.global_txt_feature if kind == "img"
+                             else self.global_img_feature)
+                    states = S.stacked_uni_contrast_epoch(
+                        engine, states, old_params, old_bs,
+                        self.datasets["pub_train"], same, other,
+                        self._batch_rows, do_inter, do_intra,
+                        _device_batch)
+                for c, s in zip(members, states):
+                    c.state = s
+
+        # Representations (stacked over the public eval loader).
+        states = [c.state for c in members]
+        if kind == "mm":
+            img_r, txt_r = S.stacked_mm_reps(engine, states,
+                                             self.datasets["pub_eval"],
+                                             _device_batch)
+            img_vecs.extend(img_r)
+            txt_vecs.extend(txt_r)
+        else:
+            reps, order = S.stacked_uni_reps(engine, states,
+                                             self.datasets["pub_eval"],
+                                             _device_batch)
+            assert np.array_equal(order, self.distill_index)
+            (img_vecs if kind == "img" else txt_vecs).extend(reps)
+
+        # Local test (uni clients).
+        if kind != "mm":
+            test_loader = self.datasets.get(f"{kind}_test")
+            if test_loader is not None:
+                for c in members:
+                    c1 = ck = n = 0.0
+                    for batch in test_loader:
+                        a, b, m = engine.test_step(c.state,
+                                                   _device_batch(batch))
+                        c1 += float(a); ck += float(b); n += float(m)
+                    if n:
+                        self.logger.log(
+                            f"client {c.client_idx} ({kind}) "
+                            f"top1 {100*c1/n:.2f} topk {100*ck/n:.2f}")
+
     # -- distillation ---------------------------------------------------
     def _distill(self, img_vecs, txt_vecs):
         args = self.args
@@ -355,19 +435,30 @@ class MMFL:
             self._extract_global_features()
 
         img_vecs, txt_vecs = [], []
-        for client in cur:
-            self.logger.log(f"Training Client {client.client_idx} "
-                            f"({client.kind})!")
-            if client.kind == "mm":
-                self._run_mm_client(client, round_n)
-                reps = self._mm_client_reps(client)
-            else:
-                self._run_uni_client(client, round_n)
-                reps = self._uni_client_reps(client)
-            if reps["img"] is not None:
-                img_vecs.append(reps["img"])
-            if reps["txt"] is not None:
-                txt_vecs.append(reps["txt"])
+        if getattr(args, "client_parallel", True):
+            groups: Dict[str, List[ClientHandle]] = {}
+            for client in cur:
+                groups.setdefault(client.kind, []).append(client)
+            for kind, members in groups.items():
+                ids = [c.client_idx for c in members]
+                self.logger.log(f"Training {kind} clients {ids} "
+                                f"(stacked x{len(members)})")
+                self._run_group(kind, members, round_n, img_vecs,
+                                txt_vecs)
+        else:
+            for client in cur:
+                self.logger.log(f"Training Client {client.client_idx} "
+                                f"({client.kind})!")
+                if client.kind == "mm":
+                    self._run_mm_client(client, round_n)
+                    reps = self._mm_client_reps(client)
+                else:
+                    self._run_uni_client(client, round_n)
+                    reps = self._uni_client_reps(client)
+                if reps["img"] is not None:
+                    img_vecs.append(reps["img"])
+                if reps["txt"] is not None:
+                    txt_vecs.append(reps["txt"])
 
         if not args.disable_distill and (img_vecs or txt_vecs):
             if args.agg_method != "con_w":

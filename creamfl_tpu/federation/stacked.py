@@ -1,0 +1,111 @@
+"""Stacked (client-parallel) execution of the public-set phases.
+
+The dominant round cost is each selected client re-walking the 50k
+public set for contrast regularization and representation upload
+(reference HOT LOOPs 4-5, SURVEY.md §3.2) — the reference runs clients
+*sequentially*, swapping models on/off the GPU. Clients of one family
+share an architecture and see the *same* public batches, so here their
+states stack on a leading [C, ...] axis and one vmapped program advances
+all of them per batch — semantics identical to the sequential loop
+(client updates are data-independent), wall-clock divided by C on one
+chip's utilization headroom and sharded over the mesh's ``client`` axis
+on a slice.
+
+Local task epochs keep per-client loaders (different data, different
+batch counts) and stay sequential for exact parity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creamfl_tpu.engine.state import EngineState
+from creamfl_tpu.parallel.client_parallel import (stack_states,
+                                                  unstack_states)
+
+
+def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
+                               old_params_list, old_bs_list,
+                               pub_loader, same, other, batch_rows_fn,
+                               do_inter: bool, do_intra: bool,
+                               device_batch_fn) -> List[EngineState]:
+    """One contrast epoch for C stacked unimodal clients of one family."""
+    stacked = stack_states(list(states))
+    old_params = jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list)
+    old_bs = (jax.tree.map(lambda *xs: jnp.stack(xs), *old_bs_list)
+              if old_bs_list and old_bs_list[0] else {})
+
+    def one(state, old_p, old_b, batch, globals_):
+        new_state, loss = engine.contrast_step(state, old_p, old_b, batch,
+                                               globals_, do_inter,
+                                               do_intra)
+        return new_state, loss
+
+    vstep = jax.vmap(
+        one, in_axes=(0, 0, 0 if old_bs else None, None,
+                      {"same": None, "other": None, "index": None}))
+
+    for batch in pub_loader:
+        globals_ = {"same": same, "other": other,
+                    "index": batch_rows_fn(batch)}
+        stacked, _ = vstep(stacked, old_params, old_bs if old_bs else None,
+                           device_batch_fn(batch), globals_)
+    return unstack_states(stacked, len(states))
+
+
+def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
+                              old_params_list, old_bs_list,
+                              pub_loader, g_img, g_txt, batch_rows_fn,
+                              do_inter: bool, do_intra: bool,
+                              device_batch_fn) -> List[EngineState]:
+    stacked = stack_states(list(states))
+    old_params = jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list)
+    old_bs = (jax.tree.map(lambda *xs: jnp.stack(xs), *old_bs_list)
+              if old_bs_list and old_bs_list[0] else {})
+
+    def one(state, old_p, old_b, batch, globals_):
+        return engine.contrast_step(state, old_p, old_b, batch, globals_,
+                                    do_inter, do_intra)
+
+    vstep = jax.vmap(
+        one, in_axes=(0, 0, 0 if old_bs else None, None,
+                      {"img": None, "txt": None, "index": None}))
+
+    for batch in pub_loader:
+        globals_ = {"img": g_img, "txt": g_txt,
+                    "index": batch_rows_fn(batch)}
+        stacked, _ = vstep(stacked, old_params, old_bs if old_bs else None,
+                           device_batch_fn(batch), globals_)
+    return unstack_states(stacked, len(states))
+
+
+def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
+                     device_batch_fn) -> Tuple[np.ndarray, np.ndarray]:
+    """[C, N, d] representations + [N] dataset indices."""
+    stacked = stack_states(list(states))
+    vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
+    parts, idx_parts = [], []
+    for batch in pub_loader:
+        feats = vfeat(stacked, device_batch_fn(batch))  # [C, B, d]
+        valid = np.asarray(batch["valid"])
+        parts.append(np.asarray(feats)[:, valid])
+        idx_parts.append(np.asarray(batch["index"])[valid])
+    return np.concatenate(parts, axis=1), np.concatenate(idx_parts)
+
+
+def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
+                    device_batch_fn):
+    stacked = stack_states(list(states))
+    vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
+    img_parts, txt_parts = [], []
+    for batch in pub_loader:
+        fi, ft = vfeat(stacked, device_batch_fn(batch))
+        valid = np.asarray(batch["valid"])
+        img_parts.append(np.asarray(fi)[:, valid])
+        txt_parts.append(np.asarray(ft)[:, valid])
+    return (np.concatenate(img_parts, axis=1),
+            np.concatenate(txt_parts, axis=1))

@@ -36,6 +36,23 @@ class MCSoftContrastiveConfig:
     num_samples: int = 1  # MC samples; deterministic PCME path uses 1
     eps: float = 1e-6
     reduction: str = "sum"  # reference default (probemb.py:119)
+    uniform_lambda: float = 0.0  # off in all CreamFL configs
+    vib_beta: float = 0.0
+
+
+def uniformity_loss(x: jnp.ndarray, t: float = 2.0) -> jnp.ndarray:
+    """log mean exp(-t * ||x_i - x_j||^2) over pairs (probemb.py:139)."""
+    sq = (jnp.sum(x * x, 1)[:, None] - 2 * x @ x.T
+          + jnp.sum(x * x, 1)[None, :])
+    n = x.shape[0]
+    mask = ~jnp.eye(n, dtype=bool)
+    vals = jnp.where(mask, jnp.exp(-t * jnp.maximum(sq, 0.0)), 0.0)
+    return jnp.log(jnp.sum(vals) / (n * (n - 1)))
+
+
+def kl_divergence(mu: jnp.ndarray, logsigma: jnp.ndarray) -> jnp.ndarray:
+    """-0.5 sum(1 + logsigma - mu^2 - e^logsigma) (probemb.py:146)."""
+    return -0.5 * jnp.sum(1 + logsigma - mu * mu - jnp.exp(logsigma))
 
 
 def init_mcsoft_params(config: MCSoftContrastiveConfig) -> Dict[str, jnp.ndarray]:
@@ -65,11 +82,22 @@ def _soft_contrastive_nll(logits: jnp.ndarray,
     return log_denom - logits * matched
 
 
+def match_prob(params: Dict[str, jnp.ndarray], queries: jnp.ndarray,
+               gallery: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """[M,d] x [N,d] -> [M,N] match probabilities (probemb.py:210-219):
+    p = e^s / (e^s + e^-s) = sigmoid(2s), s = -a*d(q,g) + b."""
+    d = pairwise_l2(queries, gallery, eps)
+    s = -params["negative_scale"][0] * d + params["shift"][0]
+    return jax.nn.sigmoid(2.0 * s)
+
+
 def mcsoft_contrastive_loss(
     params: Dict[str, jnp.ndarray],
     image_features: jnp.ndarray,
     caption_features: jnp.ndarray,
     config: MCSoftContrastiveConfig = MCSoftContrastiveConfig(),
+    image_logsigma: jnp.ndarray = None,
+    caption_logsigma: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (loss, loss_dict) like the reference criterion forward.
 
@@ -113,6 +141,15 @@ def mcsoft_contrastive_loss(
     loss = 2.0 * one_dir
     if config.reduction == "mean":
         loss = loss / (2.0 * n * n)
+
+    # Optional terms (off in every CreamFL config; probemb.py:139-148).
+    if config.uniform_lambda:
+        feats = jnp.concatenate([img.reshape(-1, d), txt.reshape(-1, d)])
+        loss = loss + config.uniform_lambda * uniformity_loss(feats)
+    if config.vib_beta:
+        vib = (kl_divergence(jnp.mean(img, 1), image_logsigma)
+               + kl_divergence(jnp.mean(txt, 1), caption_logsigma))
+        loss = loss + config.vib_beta * vib
 
     loss_dict = {
         "i2t_loss": one_dir,

@@ -93,6 +93,9 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--wandb', action='store_true', default=False)
     parser.add_argument('--ckpt_dir', type=str, default=None,
                         help='round-checkpoint directory (enables resume)')
+    parser.add_argument('--no_client_parallel', dest='client_parallel',
+                        action='store_false', default=True,
+                        help='disable stacked client-parallel execution')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from the latest round checkpoint')
 

@@ -1,0 +1,102 @@
+"""Aux-component tests: loss factory, match_prob eval mode, uncertainty
+heads, helpers, profiling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from creamfl_tpu.engine.evaluator import RetrievalEvaluator
+from creamfl_tpu.losses.factory import create, triplet_loss
+from creamfl_tpu.losses.mcsoft import (MCSoftContrastiveConfig,
+                                       init_mcsoft_params, match_prob,
+                                       kl_divergence, uniformity_loss)
+from creamfl_tpu.models.uncertainty import (UncertaintyModule,
+                                            sample_gaussian_embeddings)
+from creamfl_tpu.utils.helper import get_save_dirs, set_seed, to_one_hot
+from creamfl_tpu.utils.profiling import StepTimer
+
+
+def test_loss_factory():
+    assert create("softmax").__name__ == "cross_entropy"
+    assert create("triplet") is triplet_loss
+    with pytest.raises(NotImplementedError):
+        create("histogram")
+    with pytest.raises(ValueError):
+        create("nope")
+
+
+def test_match_prob_reference_formula(rng):
+    params = init_mcsoft_params(MCSoftContrastiveConfig())
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    g = rng.normal(size=(5, 8)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    got = np.asarray(match_prob(params, jnp.asarray(q), jnp.asarray(g)))
+    d = np.sqrt(((q[:, None] - g[None]) ** 2).sum(-1) + 1e-6)
+    s = -15.0 * d + 15.0
+    expected = np.exp(s) / (np.exp(s) + np.exp(-s))
+    # probabilities span e^-60..1 here; compare with a denormal-safe atol
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-25)
+    assert got.shape == (3, 5)
+
+
+def test_matching_prob_eval_ranks_by_distance(rng):
+    """matching_prob is monotone-decreasing in distance, so with unit
+    vectors it must produce the same ranking as matmul."""
+    params = init_mcsoft_params(MCSoftContrastiveConfig())
+    q = rng.normal(size=(6, 8)).astype(np.float32)
+    g = rng.normal(size=(15, 8)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    ql = np.arange(6)
+    gl = np.concatenate([np.arange(6), rng.integers(0, 6, size=9)])
+
+    ev_mm = RetrievalEvaluator(n_crossfolds=0)
+    ev_mp = RetrievalEvaluator(n_crossfolds=0,
+                               eval_method="matching_prob",
+                               criterion_params=params)
+    s_mm = ev_mm.evaluate_recall(q, g, ql, gl)
+    s_mp = ev_mp.evaluate_recall(q, g, ql, gl)
+    assert s_mm == s_mp
+
+
+def test_uncertainty_module_shapes(key):
+    m = UncertaintyModule(d_out=16, d_hidden=8)
+    pooled = jnp.ones((2, 16))
+    tokens = jax.random.normal(key, (2, 5, 16))
+    variables = m.init(key, pooled, tokens)
+    logsigma = m.apply(variables, pooled, tokens)
+    assert logsigma.shape == (2, 16)
+    samples = sample_gaussian_embeddings(pooled, logsigma, 7, key)
+    assert samples.shape == (2, 7, 16)
+
+
+def test_uniformity_and_kl(rng):
+    x = rng.normal(size=(6, 4)).astype(np.float32)
+    u = float(uniformity_loss(jnp.asarray(x)))
+    assert np.isfinite(u)
+    mu = jnp.zeros((3, 4))
+    ls = jnp.zeros((3, 4))
+    np.testing.assert_allclose(float(kl_divergence(mu, ls)), 0.0,
+                               atol=1e-6)
+
+
+def test_helpers(tmp_path):
+    set_seed(123)
+    dirs = get_save_dirs(str(tmp_path), "exp1")
+    assert all(np.asarray([os.path.isdir(d) for d in dirs.values()]))
+    oh = np.asarray(to_one_hot(jnp.asarray([1, 0]), 3))
+    np.testing.assert_array_equal(oh, [[0, 1, 0], [1, 0, 0]])
+
+
+def test_step_timer():
+    t = StepTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    summary = t.report(0)
+    assert "a_s" in summary and t.totals == {}
