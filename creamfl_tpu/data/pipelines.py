@@ -176,8 +176,20 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
             bert_tokenizer=bert_tok)
 
     subset_idx = load_or_create_subset_idx("coco_subset_idx_file")
-    pub_train = SubsetDataset(coco(True), subset_idx)
-    pub_eval = SubsetDataset(coco(False), subset_idx)
+    coco_client = getattr(args, "coco_client", -1)
+    if coco_client > -1:
+        # Per-client COCO shard (reference load_datasets.py:164-166:
+        # captions [100000 + 10000*client, 110000 + 10000*client)).
+        shard = list(range(100000 + coco_client * 10000,
+                           110000 + coco_client * 10000))
+        pub_train = SubsetDataset(coco(True), shard)
+        pub_eval = SubsetDataset(coco(False), shard)
+    else:
+        pub_train = SubsetDataset(coco(True), subset_idx)
+        pub_eval = SubsetDataset(coco(False), subset_idx)
+    val_ids = _ids("coco_dev_ids.npy")
+    if val_ids is not None:
+        val_ids = val_ids[:5000]
     test_set = CocoCaptionsCap(image_root, val_ann, ids=te_ids,
                                train=False, vocab=vocab,
                                bert_tokenizer=bert_tok)
@@ -196,6 +208,11 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
         "n_images_per_crossfold": 1000,
         "n_captions_per_crossfold": 5000,
     }
+    if val_ids is not None:
+        val_set = CocoCaptionsCap(image_root, val_ann, ids=val_ids,
+                                  train=False, vocab=vocab,
+                                  bert_tokenizer=bert_tok)
+        datasets["val"] = ArrayLoader(val_set, 8, pad_last=True)
 
     if args.num_img_clients > 0:
         train = Cifar(cifar_root, "Cifar100", train=True)

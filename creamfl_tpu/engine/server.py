@@ -24,6 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from creamfl_tpu.engine.state import EngineState
@@ -60,6 +61,8 @@ class ServerEngine:
             init_shift=float(crit_cfg.get("init_shift", 15)),
             init_negative_scale=float(crit_cfg.get("init_negative_scale",
                                                    15)),
+            uniform_lambda=float(crit_cfg.get("uniform_lambda", 0)),
+            vib_beta=float(crit_cfg.get("vib_beta", 0)),
         )
         opt_cfg = config.optimizer
         self.tx, self.lr_schedule = make_server_optimizer(
@@ -102,6 +105,65 @@ class ServerEngine:
         state.opt_state.hyperparams["learning_rate"] = (
             self.lr_schedule(round_n))
         return state
+
+    def load_pretrained(self, state: EngineState,
+                        resnet_path: Optional[str] = None,
+                        bert_path: Optional[str] = None,
+                        glove_path: Optional[str] = None,
+                        vocab=None) -> EngineState:
+        """Graft pretrained torchvision/HF/GloVe weights into the state
+        (reference loads all three at construction; here they are local
+        checkpoint files — this env has no network)."""
+        from creamfl_tpu.models import convert
+
+        params = jax.tree.map(lambda x: x, state.params)  # shallow copy
+        batch_stats = dict(state.batch_stats)
+        model_p = dict(params["model"])
+        if resnet_path:
+            sd = convert.load_state_dict(resnet_path)
+            trunk, stats = convert.torchvision_resnet_to_flax(sd)
+            img_enc = dict(model_p["img_enc"])
+            img_enc["cnn"] = trunk
+            model_p["img_enc"] = img_enc
+            bs_img = dict(batch_stats.get("img_enc", {}))
+            bs_img["cnn"] = stats
+            batch_stats["img_enc"] = bs_img
+        if bert_path and not self.model.not_bert:
+            sd = convert.load_state_dict(bert_path)
+            txt_enc = dict(model_p["txt_enc"])
+            txt_enc["bert"] = convert.hf_bert_to_flax(
+                sd, self.model.bert_config.num_layers)
+            model_p["txt_enc"] = txt_enc
+        if glove_path and self.model.not_bert and vocab is not None:
+            txt_enc = dict(model_p["txt_enc"])
+            mat, missing = convert.load_glove_embeddings(
+                glove_path, vocab, self.model.word_dim,
+                init=np.asarray(txt_enc["embed"]["embedding"]))
+            txt_enc["embed"] = {"embedding": jnp.asarray(mat)}
+            model_p["txt_enc"] = txt_enc
+        params["model"] = model_p
+        return state.replace(params=params, batch_stats=batch_stats)
+
+    def report_scores(self, step: int, scores: Dict, metadata=None,
+                      prefix: str = "", logger=None) -> Dict:
+        """Flattened metric report (reference retrieval_trainer.py:216-237
+        key format: ``{split}__{section}_{metric}``)."""
+        from creamfl_tpu.utils.serialize import flatten_dict
+
+        report = {}
+        for data_key, sub in scores.items():
+            if isinstance(sub, dict):
+                flat = flatten_dict(sub, sep="_")
+                report.update({f"{prefix}{data_key}__{k}": v
+                               for k, v in flat.items()})
+            else:
+                report[f"{prefix}{data_key}"] = sub
+        if metadata:
+            report.update({f"{prefix}meta_{k}": v
+                           for k, v in metadata.items()})
+        if logger is not None:
+            logger.report(step, report)
+        return report
 
     # -- jitted programs ----------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,))

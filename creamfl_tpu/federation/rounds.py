@@ -88,6 +88,16 @@ class MMFL:
         sample = next(iter(datasets["pub_train"]))
         self.key, sub = jax.random.split(self.key)
         self.server_state = self.server.init_state(sub, sample)
+        if (getattr(args, "resnet_ckpt", None)
+                or getattr(args, "bert_ckpt", None)
+                or getattr(args, "glove_path", None)):
+            self.server_state = self.server.load_pretrained(
+                self.server_state,
+                resnet_path=getattr(args, "resnet_ckpt", None),
+                bert_path=getattr(args, "bert_ckpt", None),
+                glove_path=getattr(args, "glove_path", None),
+                vocab=datasets["vocab"])
+            self.logger.log("loaded pretrained weights into server")
 
         self.best_score = 0.0
         self.best_scores = None
@@ -162,6 +172,69 @@ class MMFL:
                                                  loader, i))
         for i, c in enumerate(self.clients):
             c.client_idx = i + 1
+        if getattr(self.args, "glove_path", None):
+            self._load_client_glove(self.args.glove_path)
+        if getattr(self.args, "client_resnet_ckpt", None):
+            self._load_client_resnet(self.args.client_resnet_ckpt)
+
+    def _load_client_resnet(self, path: str):
+        """ImageNet trunk for image clients (reference
+        resnet18_client(pretrained=True), resnet_client.py:227-231)."""
+        from creamfl_tpu.models.convert import (load_state_dict,
+                                                torchvision_resnet_to_flax)
+
+        sd = load_state_dict(path)
+        trunk, stats = torchvision_resnet_to_flax(sd)
+        for c in self.clients:
+            if c.kind != "img":
+                continue
+            ref_shape = jax.tree.map(lambda x: x.shape,
+                                     c.state.params["backbone"])
+            got_shape = jax.tree.map(lambda x: np.asarray(x).shape, trunk)
+            if ref_shape != got_shape:
+                self.logger.log(
+                    "client trunk/ckpt architecture mismatch; skipping "
+                    "pretrained load")
+                return
+            new_p = dict(c.state.params)
+            new_p["backbone"] = jax.tree.map(jnp.asarray, trunk)
+            new_bs = dict(c.state.batch_stats)
+            new_bs["backbone"] = jax.tree.map(jnp.asarray, stats)
+            c.state = c.state.replace(params=new_p, batch_stats=new_bs)
+
+    def _load_client_glove(self, glove_path: str):
+        """GloVe init for GRU text branches (reference
+        caption_encoder.py:60-85 / language_model.py:66-91)."""
+        from creamfl_tpu.models.convert import load_glove_embeddings
+
+        vocab = self.datasets["vocab"]
+        mat = None
+        for c in self.clients:
+            params = c.state.params
+            if c.kind == "txt":
+                embed = params["embed"]["embedding"]
+            elif c.kind == "mm":
+                embed = params["model"]["txt_enc"]["embed"]["embedding"]
+            else:
+                continue
+            if mat is None or mat.shape != embed.shape:
+                mat, missing = load_glove_embeddings(
+                    glove_path, vocab, embed.shape[1],
+                    init=np.asarray(embed))
+                self.logger.log(
+                    f"glove: {len(vocab) - missing}/{len(vocab)} hit")
+            mat_j = jnp.asarray(mat)
+            if c.kind == "txt":
+                new_p = dict(params)
+                new_p["embed"] = {"embedding": mat_j}
+            else:
+                new_p = dict(params)
+                model_p = dict(new_p["model"])
+                txt_enc = dict(model_p["txt_enc"])
+                txt_enc["embed"] = {"embedding": mat_j}
+                model_p["txt_enc"] = txt_enc
+                new_p["model"] = model_p
+            c.state = c.state.replace(params=new_p)
 
     # ------------------------------------------------------------------
     def _server_inputs(self, batch):
@@ -489,6 +562,11 @@ class MMFL:
                           "Server i2t_r1": scores["i2t"]["recall_1"],
                           "Server t2i_r1": scores["t2i"]["recall_1"]},
                          step=round_n)
+        # Reference-format flattened score line
+        # (retrieval_trainer.py:216-237 key scheme).
+        self.server.report_scores(round_n + 1, {"test": scores},
+                                  metadata={"cur_epoch": round_n + 1},
+                                  prefix="eval__", logger=self.logger)
         self.logger.report(round_n + 1, {
             "rsum_r1": rsum,
             "i2t_r1": scores["i2t"]["recall_1"],

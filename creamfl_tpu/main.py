@@ -96,6 +96,16 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--no_client_parallel', dest='client_parallel',
                         action='store_false', default=True,
                         help='disable stacked client-parallel execution')
+    parser.add_argument('--resnet_ckpt', type=str, default=None,
+                        help='torchvision ResNet state_dict (.pth) for the '
+                             'server image trunk')
+    parser.add_argument('--bert_ckpt', type=str, default=None,
+                        help='HF bert-base-uncased state_dict (.pth/.bin)')
+    parser.add_argument('--glove_path', type=str, default=None,
+                        help='GloVe text vectors for GRU text encoders')
+    parser.add_argument('--client_resnet_ckpt', type=str, default=None,
+                        help='torchvision resnet state_dict for image '
+                             'client trunks')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from the latest round checkpoint')
 
