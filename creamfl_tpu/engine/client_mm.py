@@ -72,9 +72,15 @@ class MMClientEngine:
                            batch_stats=variables.get("batch_stats", {}),
                            opt_state=self.tx.init(params), step=0)
 
-    def set_round_lr(self, state: EngineState, round_n: int) -> EngineState:
-        state.opt_state.hyperparams["learning_rate"] = (
-            self.lr_schedule(round_n))
+    def set_round_lr(self, state: EngineState, round_n: int,
+                     step_lr: bool = False) -> EngineState:
+        """Parity quirk: the reference builds a cosine scheduler for mm
+        clients but never calls .step() (MMClientTrainer has no
+        lr_scheduler.step), so their LR stays at the initial 2e-4.
+        ``step_lr=True`` opts into actually annealing."""
+        if step_lr:
+            state.opt_state.hyperparams["learning_rate"] = (
+                self.lr_schedule(round_n))
         return state
 
     def _forward(self, params, batch_stats, batch, train,

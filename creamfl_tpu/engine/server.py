@@ -166,7 +166,10 @@ class ServerEngine:
         return report
 
     # -- jitted programs ----------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
+    # State buffers are donated (the round loop always replaces the
+    # state; nothing aliases server params, unlike the client MOON
+    # snapshots which forbid donation in the client engines).
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def train_step(self, state: EngineState, images, captions, lengths,
                    bert_mask, dropout_rng
                    ) -> Tuple[EngineState, Dict[str, jnp.ndarray]]:
@@ -215,7 +218,7 @@ class ServerEngine:
         return out["image_features"], out["caption_features"]
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 7, 8, 9))
+                       static_argnums=(0, 7, 8, 9), donate_argnums=(1,))
     def distill_step(self, state: EngineState, images, captions, lengths,
                      bert_mask, targets: Dict[str, jnp.ndarray],
                      use_img: bool, use_txt: bool, use_mm: bool,
