@@ -26,6 +26,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from creamfl_tpu.data.loaders import ArrayLoader
+from creamfl_tpu.data.grain_loaders import make_loader
 from creamfl_tpu.data.partition import data_partitioner
 from creamfl_tpu.data.synthetic import (SyntheticCaptionDataset,
                                         SyntheticImageClassification,
@@ -149,6 +150,13 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
     from creamfl_tpu.data.flickr30k import F30kCaptionsCap
     from creamfl_tpu.data.tokenize import BertWordPieceTokenizer
 
+    backend = getattr(args, "data_backend", "array")
+    workers = int(getattr(args, "num_workers", 0))
+
+    def _loader(dataset, batch_size, **kw):
+        return make_loader(dataset, batch_size, backend=backend,
+                           num_workers=workers, **kw)
+
     vocab = Vocabulary().load_from_pickle(vocab_path)
     bert_tok = (BertWordPieceTokenizer.from_vocab_file(bert_vocab)
                 if bert_vocab and os.path.exists(bert_vocab) else None)
@@ -198,10 +206,10 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": False,
-        "pub_train": ArrayLoader(pub_train, bs, shuffle=True,
+        "pub_train": _loader(pub_train, bs, shuffle=True,
                                  drop_last=True, seed=args.seed),
-        "pub_eval": ArrayLoader(pub_eval, bs * 2, pad_last=True),
-        "test": ArrayLoader(test_set, 8, pad_last=True),
+        "pub_eval": _loader(pub_eval, bs * 2, pad_last=True),
+        "test": _loader(test_set, 8, pad_last=True),
         "img_num_class": 100,
         "txt_num_class": 4,
         "n_crossfolds": 5,
@@ -212,7 +220,7 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
         val_set = CocoCaptionsCap(image_root, val_ann, ids=val_ids,
                                   train=False, vocab=vocab,
                                   bert_tokenizer=bert_tok)
-        datasets["val"] = ArrayLoader(val_set, 8, pad_last=True)
+        datasets["val"] = _loader(val_set, 8, pad_last=True)
 
     if args.num_img_clients > 0:
         train = Cifar(cifar_root, "Cifar100", train=True)
@@ -221,10 +229,10 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
                                  check_dir=partition_dir, alpha=0.1,
                                  y_train=train.targets, seed=args.seed)
         datasets["img_clients"] = [
-            ArrayLoader(_Subset(train, parts[i]), 512, shuffle=True,
+            _loader(_Subset(train, parts[i]), 512, shuffle=True,
                         pad_last=True, seed=args.seed)
             for i in range(args.num_img_clients)]
-        datasets["img_test"] = ArrayLoader(
+        datasets["img_test"] = _loader(
             Cifar(cifar_root, "Cifar100", train=False), 512,
             pad_last=True)
     if args.num_txt_clients > 0:
@@ -234,16 +242,16 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
                                  check_dir=partition_dir, alpha=0.1,
                                  y_train=train.targets, seed=args.seed)
         datasets["txt_clients"] = [
-            ArrayLoader(_Subset(train, parts[i]), 512, shuffle=True,
+            _loader(_Subset(train, parts[i]), 512, shuffle=True,
                         pad_last=True, seed=args.seed)
             for i in range(args.num_txt_clients)]
-        datasets["txt_test"] = ArrayLoader(
+        datasets["txt_test"] = _loader(
             Language(agnews_root, "AG_NEWS", train=False, vocab=vocab),
             512, pad_last=True)
     if args.num_mm_clients > 0:
         pp = os.path.join(partition_dir, "client_noniid_flicker30k.pkl")
         datasets["mm_clients"] = [
-            ArrayLoader(
+            _loader(
                 F30kCaptionsCap(f30k_root, "train", train=True,
                                 vocab=vocab, caption_drop_prob=0.1,
                                 random_erasing_prob=0.2, client=i,

@@ -144,6 +144,32 @@ class ServerEngine:
         params["model"] = model_p
         return state.replace(params=params, batch_stats=batch_stats)
 
+    def save_models(self, path: str, state: EngineState,
+                    metadata: Optional[Dict] = None) -> str:
+        """Engine checkpoint bundle (reference
+        retrieval_trainer.py:137-149: model+criterion+optimizer+config
+        +metadata, sha1-tagged)."""
+        from creamfl_tpu.utils.serialize import save_checkpoint
+
+        return save_checkpoint(path, {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+            "config": self.config.to_dict(),
+            "metadata": metadata or {},
+        })
+
+    def load_models(self, path: str, state: EngineState) -> EngineState:
+        """Restore a save_models bundle into an initialized state."""
+        from creamfl_tpu.utils.serialize import load_checkpoint
+
+        blob = load_checkpoint(path)
+        return state.replace(
+            params=jax.tree.map(jnp.asarray, blob["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, blob["batch_stats"]),
+            step=blob.get("step", 0))
+
     def report_scores(self, step: int, scores: Dict, metadata=None,
                       prefix: str = "", logger=None) -> Dict:
         """Flattened metric report (reference retrieval_trainer.py:216-237

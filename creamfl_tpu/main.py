@@ -106,6 +106,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--client_resnet_ckpt', type=str, default=None,
                         help='torchvision resnet state_dict for image '
                              'client trunks')
+    parser.add_argument('--data_backend', type=str, default='array',
+                        choices=['array', 'grain'],
+                        help='host input pipeline backend')
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='grain worker processes for the input '
+                             'pipeline')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from the latest round checkpoint')
 

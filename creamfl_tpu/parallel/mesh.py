@@ -25,6 +25,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (DCN). On a single host this is a
+    no-op; on a pod slice call once per host before building the mesh —
+    jax.distributed wires the cross-host collectives so the same
+    pjit-ted programs span hosts (ICI within a slice, DCN across)."""
+    import jax
+
+    if num_processes is None and "JAX_COORDINATOR" not in __import__(
+            "os").environ and coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(n_client: Optional[int] = None,
               n_data: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
