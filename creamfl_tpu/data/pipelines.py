@@ -184,6 +184,9 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
             bert_tokenizer=bert_tok)
 
     subset_idx = load_or_create_subset_idx("coco_subset_idx_file")
+    # Honor --pub_data_num (reference hardcodes 50000 but keys loader
+    # names on the flag; we slice the frozen subset deterministically).
+    subset_idx = subset_idx[: getattr(args, "pub_data_num", 50000)]
     coco_client = getattr(args, "coco_client", -1)
     if coco_client > -1:
         # Per-client COCO shard (reference load_datasets.py:164-166:

@@ -43,6 +43,10 @@ class MMClientEngine:
             word_dim=model_cfg.get("word_dim", 300),
             not_bert=True,
             mlp_local=mlp_local,
+            # bf16 conv compute (apex-O2 equivalent, f30k.yaml use_fp16).
+            dtype=(jnp.bfloat16
+                   if config.train.get("use_bf16", False)
+                   else jnp.float32),
         )
         self.criterion_config = MCSoftContrastiveConfig(
             init_shift=float(config.criterion.get("init_shift", 15)),

@@ -46,7 +46,7 @@ class UniClientEngine:
     differ only in their EngineState."""
 
     def __init__(self, modality: str, num_class: int, args,
-                 vocab_size: int = 0):
+                 vocab_size: int = 0, use_bf16: bool = False):
         assert modality in ("img", "txt")
         self.modality = modality
         self.args = args
@@ -56,7 +56,8 @@ class UniClientEngine:
                 if args.img_model_local in ("resnet10", "resnet18")
                 else "resnet18",
                 num_class=num_class, embed_dim=args.feature_dim,
-                scale=128.0, mlp_local=args.mlp_local)
+                scale=128.0, mlp_local=args.mlp_local,
+                dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
         else:
             self.model = TextClientNet(
                 vocab_size=vocab_size, num_class=num_class,

@@ -109,6 +109,9 @@ class MMFL:
         ckpt_dir = getattr(args, "ckpt_dir", None)
         self.checkpointer = (RoundCheckpointer(ckpt_dir)
                              if ckpt_dir else None)
+        from creamfl_tpu.utils.profiling import StepTimer
+
+        self.timer = StepTimer(logger=self.logger)
 
     # -- checkpoint / resume -------------------------------------------
     def save_round(self, round_n: int) -> Optional[str]:
@@ -144,8 +147,10 @@ class MMFL:
     def _build_clients(self, mm_config, vocab_size):
         args = self.args
         ds = self.datasets
+        use_bf16 = bool(getattr(args, "client_bf16", False))
         if args.num_img_clients > 0 and ds.get("img_clients"):
-            engine = UniClientEngine("img", ds["img_num_class"], args)
+            engine = UniClientEngine("img", ds["img_num_class"], args,
+                                     use_bf16=use_bf16)
             sample = next(iter(ds["img_clients"][0]))
             for i, loader in enumerate(ds["img_clients"]):
                 self.key, sub = jax.random.split(self.key)
@@ -495,7 +500,9 @@ class MMFL:
         self.logger.log(f"Round {round_n + 1}!")
         self.server_state = self.server.set_round_lr(self.server_state,
                                                      round_n)
-        self._server_train_epoch()
+        with self.timer.phase("server_train",
+                              sync=lambda: self.server_state.params):
+            self._server_train_epoch()
 
         cur = self.clients
         if len(self.clients) > args.client_num_per_round:
@@ -505,7 +512,8 @@ class MMFL:
                         or args.contrast_local_inter
                         or args.contrast_local_intra)
         if need_globals:
-            self._extract_global_features()
+            with self.timer.phase("global_features"):
+                self._extract_global_features()
 
         img_vecs, txt_vecs = [], []
         if getattr(args, "client_parallel", True):
@@ -516,8 +524,9 @@ class MMFL:
                 ids = [c.client_idx for c in members]
                 self.logger.log(f"Training {kind} clients {ids} "
                                 f"(stacked x{len(members)})")
-                self._run_group(kind, members, round_n, img_vecs,
-                                txt_vecs)
+                with self.timer.phase(f"clients_{kind}"):
+                    self._run_group(kind, members, round_n, img_vecs,
+                                    txt_vecs)
         else:
             for client in cur:
                 self.logger.log(f"Training Client {client.client_idx} "
@@ -537,9 +546,13 @@ class MMFL:
             if args.agg_method != "con_w":
                 raise NotImplementedError(args.agg_method)
             self.logger.log("start distilling")
-            self._distill(img_vecs, txt_vecs)
+            with self.timer.phase("aggregate_distill",
+                                  sync=lambda: self.server_state.params):
+                self._distill(img_vecs, txt_vecs)
 
-        scores = self.evaluate()
+        with self.timer.phase("eval"):
+            scores = self.evaluate()
+        self.timer.report(round_n + 1)
         rsum = self._report(round_n, scores)
 
         if rsum > self.best_score:

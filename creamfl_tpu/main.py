@@ -112,6 +112,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--num_workers', type=int, default=0,
                         help='grain worker processes for the input '
                              'pipeline')
+    parser.add_argument('--client_bf16', action='store_true',
+                        default=False,
+                        help='bf16 conv compute for image client trunks')
+    parser.add_argument('--coco_client', type=int, default=-1,
+                        help='per-client COCO shard index '
+                             '(load_datasets.py client>-1 path)')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from the latest round checkpoint')
 

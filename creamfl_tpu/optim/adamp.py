@@ -35,35 +35,55 @@ class AdamPState(NamedTuple):
 
 def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
                    delta: float, wd_ratio: float, eps: float):
-    """Channel-view then layer-view projection; returns (perturb, wd)."""
+    """Channel-view then layer-view projection; returns (perturb, wd).
 
-    def cosine_max(x, y, rows):
-        xv = x.reshape(rows, -1).astype(jnp.float32)
-        yv = y.reshape(rows, -1).astype(jnp.float32)
+    Torch AdamP's channel view is ``weight.view(out_channels, -1)`` —
+    torch puts output channels first (Linear [out,in], Conv [O,I,kh,kw]).
+    Flax kernels put output features LAST (Dense [in,out], Conv
+    [kh,kw,I,O]), so the channel view here groups by the last axis to
+    match the algorithm's intent (per-output-channel scale invariance
+    under a following Norm layer).
+    """
+
+    def to_channels(x):
+        # [..., out] -> [out, prod(rest)]
+        return jnp.moveaxis(x, -1, 0).reshape(x.shape[-1], -1).astype(
+            jnp.float32)
+
+    def cosine_max(xv, yv):
         dot = jnp.sum(xv * yv, axis=1)
         nx = jnp.linalg.norm(xv, axis=1)
         ny = jnp.linalg.norm(yv, axis=1)
         return jnp.max(jnp.abs(dot) / jnp.maximum(nx * ny, eps))
 
-    def projected(rows):
-        pv = p.reshape(rows, -1).astype(jnp.float32)
+    def projected_channels():
+        pv = to_channels(p)
         pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
-        pert_v = perturb.reshape(rows, -1)
+        pert_v = to_channels(perturb)
         radial = jnp.sum(pn * pert_v, axis=1, keepdims=True)
+        out = (pert_v - pn * radial).reshape(
+            (p.shape[-1],) + p.shape[:-1])
+        return jnp.moveaxis(out, 0, -1)
+
+    def projected_layer():
+        pv = p.reshape(1, -1).astype(jnp.float32)
+        pn = pv / (jnp.linalg.norm(pv) + eps)
+        pert_v = perturb.reshape(1, -1)
+        radial = jnp.sum(pn * pert_v)
         return (pert_v - pn * radial).reshape(p.shape)
 
-    rows_channel = p.shape[0]
-    channel_dim = math.prod(p.shape[1:])  # static python math (jit-safe)
+    channel_dim = math.prod(p.shape[:-1])  # elements per output channel
     layer_dim = math.prod(p.shape)
 
-    cos_c = cosine_max(g, p, rows_channel)
-    cos_l = cosine_max(g, p, 1)
+    cos_c = cosine_max(to_channels(g), to_channels(p))
+    cos_l = cosine_max(g.reshape(1, -1).astype(jnp.float32),
+                       p.reshape(1, -1).astype(jnp.float32))
     use_c = cos_c < delta / jnp.sqrt(jnp.float32(channel_dim))
     use_l = jnp.logical_and(jnp.logical_not(use_c),
                             cos_l < delta / jnp.sqrt(jnp.float32(layer_dim)))
 
-    out = jnp.where(use_c, projected(rows_channel),
-                    jnp.where(use_l, projected(1), perturb))
+    out = jnp.where(use_c, projected_channels(),
+                    jnp.where(use_l, projected_layer(), perturb))
     wd = jnp.where(jnp.logical_or(use_c, use_l), wd_ratio, 1.0)
     return out, wd
 

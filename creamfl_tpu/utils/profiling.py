@@ -43,12 +43,15 @@ class StepTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, sync=None):
+        """``sync`` may be a pytree or a zero-arg callable returning one
+        (use a callable when the phase replaces/donates the state — a
+        pytree captured at entry would reference deleted buffers)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                jax.block_until_ready(sync() if callable(sync) else sync)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

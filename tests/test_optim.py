@@ -46,6 +46,23 @@ def test_adamp_projects_radial_component():
     assert abs(radial) < 1e-6
 
 
+def test_adamp_channel_view_groups_output_features():
+    """Flax Dense kernels are [in, out]; the channel view must group by
+    the LAST axis (output features, matching torch's [out, in] rows).
+    With per-output-column-orthogonal gradients the update must lose its
+    radial component per column."""
+    w = jnp.asarray([[3.0, 0.0], [4.0, 0.0], [0.0, 2.0]])  # [in=3,out=2]
+    # grad orthogonal to each w column.
+    g = jnp.asarray([[-4.0, 1.0], [3.0, 0.0], [1.0, 0.0]]) * 0.1
+    tx = adamp(1e-1)
+    state = tx.init({"w": w})
+    up, _ = tx.update({"w": g}, state, {"w": w})
+    for col in range(2):
+        radial = float(jnp.dot(up["w"][:, col], w[:, col])
+                       / jnp.linalg.norm(w[:, col]))
+        assert abs(radial) < 1e-6, col
+
+
 def test_adamp_no_projection_when_aligned():
     """Gradient parallel to weight: no projection, update ~ -lr * sign."""
     w = jnp.asarray([[3.0, 0.0], [0.0, 2.0]])
