@@ -175,6 +175,24 @@ class RetrievalEvaluator:
             sims_fn=self._sims_fn))
         return _recall_scores(ranks)
 
+    def retrieve(self, q_features, g_features, q_ids, g_ids,
+                 topk: int = 10):
+        """Top-k retrieval lists per query (reference
+        eval_coco.py:226-271): {q_id: [g_id, ...]} plus scores."""
+        q = jnp.asarray(q_features, jnp.float32)
+        g = jnp.asarray(g_features, jnp.float32)
+        if self._sims_fn is not None:
+            sims = np.asarray(self._sims_fn(q, g))
+        else:
+            sims = np.asarray(q @ g.T)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :topk]
+        g_ids = np.asarray(g_ids)
+        items = {qid: g_ids[order[i]].tolist()
+                 for i, qid in enumerate(np.asarray(q_ids))}
+        scores = {qid: sims[i, order[i]].tolist()
+                  for i, qid in enumerate(np.asarray(q_ids))}
+        return items, scores
+
     def evaluate_n_fold(self, feats: Dict) -> Dict:
         per_task = {"i2t": [], "t2i": []}
         for fold in range(self.n_crossfolds):

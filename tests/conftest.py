@@ -21,6 +21,10 @@ import jax  # noqa: E402 (already imported by sitecustomize; config still open)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: the e2e tests recompile ~20 programs per run
+# on a single CPU core otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

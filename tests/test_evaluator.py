@@ -60,6 +60,18 @@ def test_recall_scores_known_ranking():
     assert i2t["medr"] == 1.0
 
 
+def test_retrieve_topk():
+    ev = RetrievalEvaluator(n_crossfolds=0)
+    q = np.eye(2, 4, dtype=np.float32)
+    g = np.asarray([[1, 0, 0, 0], [0.5, 0, 0, 0], [0, 1, 0, 0]],
+                   np.float32)
+    items, scores = ev.retrieve(q, g, q_ids=[10, 20],
+                                g_ids=[100, 200, 300], topk=2)
+    assert items[10] == [100, 200]
+    assert items[20] == [300, 100] or items[20][0] == 300
+    assert scores[10][0] == 1.0
+
+
 def test_extract_features_dedup_and_alignment():
     """Images dedup by image_id; captions regrouped in image order."""
     d = 4
