@@ -203,6 +203,9 @@ def project_round_seconds(server_dt, contrast_dt, conw_dt,
 
 
 def main():
+    from creamfl_tpu.main import _enable_compile_cache
+
+    _enable_compile_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     server_sps, server_dt = bench_server_step(on_tpu)

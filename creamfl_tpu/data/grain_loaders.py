@@ -14,7 +14,7 @@ Falls back to ArrayLoader when grain is not importable.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from creamfl_tpu.data.loaders import collate_captions
 from creamfl_tpu.data.vocab import Vocabulary
 
 
@@ -27,11 +26,18 @@ def _img_rng(seed: int, index: int) -> np.random.Generator:
 
 class SyntheticCaptionDataset:
     """COCO/F30k-style paired image-caption set. ``captions_per_image``
-    controls the image-id grouping used by retrieval eval (COCO ~5)."""
+    controls the image-id grouping used by retrieval eval (COCO ~5).
+
+    Each image carries a latent concept class; the image gets a
+    class-dependent spatial pattern and its captions get
+    class-correlated tokens, so cross-modal *learning* is measurable on
+    synthetic data (retrieval above chance), not just shapes.
+    """
 
     def __init__(self, n_captions: int = 256, image_size: int = 224,
                  max_len: int = 16, vocab: Vocabulary | None = None,
                  captions_per_image: int = 5, seed: int = 0,
+                 n_concepts: int = 10, signal: float = 0.8,
                  bert_tokenizer=None, bert_max_len: int = 32):
         self.n = n_captions
         self.image_size = image_size
@@ -39,24 +45,43 @@ class SyntheticCaptionDataset:
         self.vocab = vocab or Vocabulary.synthetic(100)
         self.cpi = captions_per_image
         self.seed = seed
+        self.n_concepts = n_concepts
+        self.signal = signal
         self.n_images = -(-n_captions // captions_per_image)
         self.iid_to_cls = None
         self.bert_tokenizer = bert_tokenizer
         self.bert_max_len = bert_max_len
+
+    def _concept(self, image_id: int) -> int:
+        return (image_id * 2654435761 + self.seed) % self.n_concepts
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, index: int):
         image_id = index // self.cpi
+        concept = self._concept(image_id)
         rng = _img_rng(self.seed, image_id)
         img = rng.normal(0.0, 1.0,
                          (self.image_size, self.image_size, 3)).astype(
             np.float32)
+        # Class-dependent low-frequency pattern (visible through convs).
+        s = self.image_size
+        yy, xx = np.meshgrid(np.linspace(0, np.pi * 2, s),
+                             np.linspace(0, np.pi * 2, s), indexing="ij")
+        img[..., 0] += self.signal * np.sin((concept + 1) * xx)
+        img[..., 1] += self.signal * np.cos((concept + 1) * yy)
+
         crng = _img_rng(self.seed + 1, index)
-        length = int(crng.integers(4, self.max_len))
+        length = int(crng.integers(6, self.max_len))
         body = crng.integers(4, len(self.vocab),
                              size=(length - 2,)).astype(np.int32)
+        # Concept-correlated tokens: a deterministic concept bigram
+        # occupies the first two body slots.
+        vsize = len(self.vocab) - 4
+        body[0] = 4 + (concept * 7) % vsize
+        if length > 4:
+            body[1] = 4 + (concept * 13 + 3) % vsize
         ids = np.zeros((self.max_len,), np.int32)
         ids[0] = self.vocab("<start>")
         ids[1:length - 1] = body

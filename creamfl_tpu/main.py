@@ -182,7 +182,21 @@ def build_datasets(args):
                                               **scale)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+
 def run(args) -> None:
+    _enable_compile_cache()
     from creamfl_tpu.federation.rounds import MMFL
     from creamfl_tpu.utils.logging import PythonLogger, get_tracker
 

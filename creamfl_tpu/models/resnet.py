@@ -14,7 +14,7 @@ configurable (bf16 policy casts activations, keeps params/BN stats fp32).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

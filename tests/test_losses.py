@@ -83,6 +83,20 @@ def test_intra_modal_moon_matches_reference_math(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
 
 
+def test_combine_inter_intra_loss_scale(rng):
+    """--loss_scale: inter term is ratio-normalized to the intra scale
+    (ClientTrainer.py:419)."""
+    from creamfl_tpu.losses import combine_inter_intra
+
+    li = jnp.asarray(8.0)
+    lm = jnp.asarray(2.0)
+    plain = float(combine_inter_intra(lm, li, 0.5, False))
+    np.testing.assert_allclose(plain, (2.0 + 8.0) * 0.5)
+    scaled = float(combine_inter_intra(lm, li, 0.5, True))
+    # inter / (inter/intra) == intra in value: (2 + 2) * 0.5
+    np.testing.assert_allclose(scaled, 2.0)
+
+
 def test_inter_modal_matches_reference_math(rng):
     bs, n, d = 5, 50, 16
     f = rng.normal(size=(bs, d)).astype(np.float32)
