@@ -113,6 +113,26 @@ class MMFL:
 
         self.timer = StepTimer(logger=self.logger)
 
+        # Multi-device: shard stacked client states over a mesh. The
+        # vmapped client programs then partition over ICI with zero
+        # communication during local epochs (DESIGN.md).
+        self.mesh = None
+        if jax.device_count() > 1 and getattr(args, "use_mesh", True):
+            from creamfl_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_client=jax.device_count(), n_data=1)
+            self.logger.log(f"client mesh: {self.mesh}")
+
+    def _group_sharding(self, n_members: int):
+        if self.mesh is None:
+            return None
+        n_dev = self.mesh.shape["client"]
+        if n_members % n_dev != 0:
+            return None  # uneven stack; stay single-device
+        from creamfl_tpu.parallel.mesh import client_sharding
+
+        return client_sharding(self.mesh)
+
     # -- checkpoint / resume -------------------------------------------
     def save_round(self, round_n: int) -> Optional[str]:
         if self.checkpointer is None:
@@ -389,6 +409,7 @@ class MMFL:
         do_intra = args.contrast_local_intra
         old_params = [c.state.params for c in members]
         old_bs = [c.state.batch_stats for c in members]
+        sharding = self._group_sharding(len(members))
         for c in members:
             c.state = engine.set_round_lr(c.state, round_n)
 
@@ -410,7 +431,7 @@ class MMFL:
                         self.datasets["pub_train"],
                         self.global_img_feature, self.global_txt_feature,
                         self._batch_rows, do_inter, do_intra,
-                        _device_batch)
+                        _device_batch, sharding=sharding)
                 else:
                     same = (self.global_img_feature if kind == "img"
                             else self.global_txt_feature)
@@ -420,7 +441,7 @@ class MMFL:
                         engine, states, old_params, old_bs,
                         self.datasets["pub_train"], same, other,
                         self._batch_rows, do_inter, do_intra,
-                        _device_batch)
+                        _device_batch, sharding=sharding)
                 for c, s in zip(members, states):
                     c.state = s
 
@@ -429,13 +450,15 @@ class MMFL:
         if kind == "mm":
             img_r, txt_r = S.stacked_mm_reps(engine, states,
                                              self.datasets["pub_eval"],
-                                             _device_batch)
+                                             _device_batch,
+                                             sharding=sharding)
             img_vecs.extend(img_r)
             txt_vecs.extend(txt_r)
         else:
             reps, order = S.stacked_uni_reps(engine, states,
                                              self.datasets["pub_eval"],
-                                             _device_batch)
+                                             _device_batch,
+                                             sharding=sharding)
             assert np.array_equal(order, self.distill_index)
             (img_vecs if kind == "img" else txt_vecs).extend(reps)
 

@@ -28,16 +28,28 @@ from creamfl_tpu.parallel.client_parallel import (stack_states,
                                                   unstack_states)
 
 
+def _place(tree, sharding):
+    """Shard a stacked pytree's leading client axis over the mesh (jit
+    then partitions the vmapped program; single-device = no-op)."""
+    if sharding is None or tree is None or tree == {}:
+        return tree
+    return jax.device_put(tree, sharding)
+
+
 def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
                                old_params_list, old_bs_list,
                                pub_loader, same, other, batch_rows_fn,
                                do_inter: bool, do_intra: bool,
-                               device_batch_fn) -> List[EngineState]:
+                               device_batch_fn,
+                               sharding=None) -> List[EngineState]:
     """One contrast epoch for C stacked unimodal clients of one family."""
-    stacked = stack_states(list(states))
-    old_params = jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list)
+    stacked = _place(stack_states(list(states)), sharding)
+    old_params = _place(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list),
+        sharding)
     old_bs = (jax.tree.map(lambda *xs: jnp.stack(xs), *old_bs_list)
               if old_bs_list and old_bs_list[0] else {})
+    old_bs = _place(old_bs, sharding) if old_bs else old_bs
 
     def one(state, old_p, old_b, batch, globals_):
         new_state, loss = engine.contrast_step(state, old_p, old_b, batch,
@@ -61,11 +73,15 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
                               old_params_list, old_bs_list,
                               pub_loader, g_img, g_txt, batch_rows_fn,
                               do_inter: bool, do_intra: bool,
-                              device_batch_fn) -> List[EngineState]:
-    stacked = stack_states(list(states))
-    old_params = jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list)
+                              device_batch_fn,
+                              sharding=None) -> List[EngineState]:
+    stacked = _place(stack_states(list(states)), sharding)
+    old_params = _place(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list),
+        sharding)
     old_bs = (jax.tree.map(lambda *xs: jnp.stack(xs), *old_bs_list)
               if old_bs_list and old_bs_list[0] else {})
+    old_bs = _place(old_bs, sharding) if old_bs else old_bs
 
     def one(state, old_p, old_b, batch, globals_):
         return engine.contrast_step(state, old_p, old_b, batch, globals_,
@@ -84,9 +100,10 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
 
 
 def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
-                     device_batch_fn) -> Tuple[np.ndarray, np.ndarray]:
+                     device_batch_fn,
+                     sharding=None) -> Tuple[np.ndarray, np.ndarray]:
     """[C, N, d] representations + [N] dataset indices."""
-    stacked = stack_states(list(states))
+    stacked = _place(stack_states(list(states)), sharding)
     vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
     parts, idx_parts = [], []
     for batch in pub_loader:
@@ -98,8 +115,8 @@ def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
 
 
 def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
-                    device_batch_fn):
-    stacked = stack_states(list(states))
+                    device_batch_fn, sharding=None):
+    stacked = _place(stack_states(list(states)), sharding)
     vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
     img_parts, txt_parts = [], []
     for batch in pub_loader:

@@ -1,0 +1,65 @@
+"""Mesh-sharded stacked client execution == single-device execution."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creamfl_tpu.engine.client_uni import UniClientEngine
+from creamfl_tpu.federation import stacked as S
+from creamfl_tpu.parallel.mesh import client_sharding, make_mesh
+
+
+class _OneBatchLoader:
+    def __init__(self, batch):
+        self.batch = batch
+
+    def __iter__(self):
+        yield self.batch
+
+
+def test_sharded_stacked_contrast_matches_unsharded(rng):
+    assert jax.device_count() == 8
+    args = types.SimpleNamespace(img_model_local="resnet10",
+                                 feature_dim=8, mlp_local=False,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = UniClientEngine("txt", num_class=4, args=args, vocab_size=20)
+    batch = {"captions": np.ones((4, 5), np.int32),
+             "lengths": np.full((4,), 5, np.int32),
+             "labels": np.zeros((4,), np.int32)}
+    states = [engine.init_state(jax.random.PRNGKey(i), batch)
+              for i in range(8)]
+    old_params = [s.params for s in states]
+    old_bs = [s.batch_stats for s in states]
+
+    n_pub, d = 12, 8
+    same = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+    other = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+    pub_batch = {"captions": np.ones((4, 5), np.int32),
+                 "lengths": np.full((4,), 5, np.int32),
+                 "index": np.arange(4, dtype=np.int64),
+                 "images": np.zeros((4, 8, 8, 3), np.float32)}
+    loader = _OneBatchLoader(pub_batch)
+
+    def rows_fn(batch):
+        return jnp.asarray(batch["index"], jnp.int32)
+
+    def dev(batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    out_plain = S.stacked_uni_contrast_epoch(
+        engine, states, old_params, old_bs, loader, same, other, rows_fn,
+        True, True, dev, sharding=None)
+
+    mesh = make_mesh(n_client=8, n_data=1)
+    out_shard = S.stacked_uni_contrast_epoch(
+        engine, states, old_params, old_bs, loader, same, other, rows_fn,
+        True, True, dev, sharding=client_sharding(mesh))
+
+    for a, b in zip(out_plain, out_shard):
+        flat_a = jax.tree.leaves(a.params)
+        flat_b = jax.tree.leaves(b.params)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
