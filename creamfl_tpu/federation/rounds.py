@@ -267,9 +267,15 @@ class MMFL:
         captions, lengths, bert_mask = self.server._text_inputs(batch)
         return images, captions, lengths, bert_mask
 
-    def _server_train_epoch(self):
+    def _server_train_epoch(self, pub_data_ratio: float = 1.0):
+        """pub_data_ratio < 1 trains on a fraction of the public epoch
+        (reference TrainerEngine.train pub_data_ratio arg)."""
         losses = []
-        for batch in self.datasets["pub_train"]:
+        n_batches = len(self.datasets["pub_train"])
+        stop_at = int(n_batches * pub_data_ratio)
+        for idx, batch in enumerate(self.datasets["pub_train"]):
+            if pub_data_ratio < 1.0 and idx == stop_at:
+                break
             images, captions, lengths, bert_mask = self._server_inputs(
                 batch)
             self.key, sub = jax.random.split(self.key)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import optax
 
 from creamfl_tpu.optim.adamp import adamp
@@ -85,10 +86,18 @@ def make_server_optimizer(learning_rate: float, t_max: int = 30,
     """
     schedule = cosine_annealing_schedule(learning_rate, t_max)
 
+    # Parity: the reference clips model.parameters() only — the
+    # criterion's learnable shift/negative_scale are NOT part of the
+    # clip norm (retrieval_trainer.py:212-214, MMClientTrainer.py:137).
+    def _model_only(params):
+        return {k: jax.tree.map(lambda _: k == "model", v)
+                for k, v in params.items()}
+
     @optax.inject_hyperparams
     def _make(learning_rate):
         return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
+            optax.masked(optax.clip_by_global_norm(grad_clip),
+                         _model_only),
             adamp(learning_rate, weight_decay=weight_decay),
         )
 
