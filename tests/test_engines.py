@@ -74,6 +74,30 @@ def test_uni_features_normalized(txt_engine, txt_state):
                                1.0, rtol=1e-4)
 
 
+def test_server_save_load_models_roundtrip(tmp_path):
+    cfg = parse_config(default_config_path("coco.yaml"), strict_cast=False)
+    cfg.model.embed_dim = 8
+    cfg.model.cnn_type = "resnet10"
+    cfg.model.not_bert = True
+    cfg.model.word_dim = 8
+    cfg.train.use_bf16 = False
+    engine = ServerEngine(cfg, vocab_size=20)
+    batch = {"images": np.zeros((1, 32, 32, 3), np.float32),
+             "captions": np.ones((1, 4), np.int32),
+             "lengths": np.full((1,), 4, np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    path = str(tmp_path / "server.ckpt")
+    sha = engine.save_models(path, state, metadata={"round": 3})
+    assert len(sha) == 40
+
+    state2 = engine.init_state(jax.random.PRNGKey(9), batch)
+    restored = engine.load_models(path, state2)
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
 def test_server_distill_step_moves_towards_targets():
     cfg = parse_config(default_config_path("coco.yaml"), strict_cast=False)
     cfg.model.embed_dim = 16
