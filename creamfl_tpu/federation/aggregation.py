@@ -29,11 +29,15 @@ from creamfl_tpu.ops.gallery import gallery_log_softmax_diag
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
                     row_block: int = 1024,
-                    col_block: int = 8192) -> jnp.ndarray:
+                    col_block: int = 8192,
+                    k_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """[K, N, d] client reps + [N, d] other-modality globals -> [N, d].
 
     K (the stacked-client axis) is small and static, so the per-client
     streamed diagonals unroll; on TPU each is the Pallas kernel.
+    ``k_mask`` ([K] bool) excludes padded clients from the softmax —
+    callers pad K to a bucket so per-round client sampling reuses one
+    compiled program per bucket instead of one per distinct K.
     """
     if dispatch._pallas_active():
         diag_logprob = jnp.stack([
@@ -45,8 +49,24 @@ def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
                                                row_block=row_block,
                                                col_block=col_block)
         )(client_reps)  # [K, N]
+    if k_mask is not None:
+        diag_logprob = jnp.where(k_mask[:, None], diag_logprob, -jnp.inf)
     alpha = jax.nn.softmax(diag_logprob, axis=0)  # softmax over clients
     return jnp.einsum("kn,knd->nd", alpha, client_reps)
+
+
+def _bucketed(reps: jnp.ndarray):
+    """Pad the client axis up to the next power of two; returns
+    (padded_reps, k_mask). Bounds distinct compiled shapes to
+    log2(max clients) regardless of the per-round sample."""
+    k = reps.shape[0]
+    bucket = 1 << max(0, (k - 1).bit_length())
+    if bucket == k:
+        return reps, jnp.ones((k,), bool)
+    pad = jnp.zeros((bucket - k,) + reps.shape[1:], reps.dtype)
+    mask = jnp.concatenate([jnp.ones((k,), bool),
+                            jnp.zeros((bucket - k,), bool)])
+    return jnp.concatenate([reps, pad], axis=0), mask
 
 
 def aggregate_modalities(img_reps: Optional[jnp.ndarray],
@@ -59,9 +79,11 @@ def aggregate_modalities(img_reps: Optional[jnp.ndarray],
     global *text* features and vice versa (MMFL.py:298-331)."""
     img_out = txt_out = None
     if img_reps is not None and len(img_reps) > 0:
-        img_out = con_w_aggregate(jnp.asarray(img_reps), global_txt,
-                                  row_block=row_block, col_block=col_block)
+        reps, mask = _bucketed(jnp.asarray(img_reps))
+        img_out = con_w_aggregate(reps, global_txt, row_block=row_block,
+                                  col_block=col_block, k_mask=mask)
     if txt_reps is not None and len(txt_reps) > 0:
-        txt_out = con_w_aggregate(jnp.asarray(txt_reps), global_img,
-                                  row_block=row_block, col_block=col_block)
+        reps, mask = _bucketed(jnp.asarray(txt_reps))
+        txt_out = con_w_aggregate(reps, global_img, row_block=row_block,
+                                  col_block=col_block, k_mask=mask)
     return img_out, txt_out

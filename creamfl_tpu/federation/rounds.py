@@ -571,6 +571,9 @@ class MMFL:
                 if reps["txt"] is not None:
                     txt_vecs.append(reps["txt"])
 
+        if getattr(args, "save_client", False):
+            self._save_clients(cur, round_n)
+
         if not args.disable_distill and (img_vecs or txt_vecs):
             if args.agg_method != "con_w":
                 raise NotImplementedError(args.agg_method)
@@ -615,6 +618,30 @@ class MMFL:
             "t2i_r1": scores["t2i"]["recall_1"],
         })
         return rsum
+
+    def _save_clients(self, cur: List[ClientHandle], round_n: int):
+        """--save_client: per-client snapshot after each round's local
+        training, named like the reference's
+        ``saved_clients/<dset>/Client{k}-model_{local_epoch}.pth``
+        (ClientTrainer.py:207-208, MMClientTrainer.py:106-107; the
+        reference's ``local_epoch`` counter accumulates
+        ``local_epochs`` per round)."""
+        local_epoch = (round_n + 1) * self.args.local_epochs
+        root = os.path.join(getattr(self.args, "exp_dir", "."),
+                            "saved_clients")
+        for c in cur:
+            path = os.path.join(
+                root, c.kind,
+                f"Client{c.client_id}-model_{local_epoch}.ckpt")
+            save_checkpoint(path, {
+                "params": c.state.params,
+                "batch_stats": c.state.batch_stats,
+                "round": round_n + 1,
+                "kind": c.kind,
+                "client_id": c.client_id,
+            })
+        self.logger.log(
+            f"saved {len(cur)} client snapshots under {root}")
 
     def _save(self, name: str):
         path = os.path.join(getattr(self.args, "exp_dir", "."), name)

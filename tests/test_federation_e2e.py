@@ -96,3 +96,24 @@ def test_sequential_matches_reference_structure(tmp_path):
     algo = MMFL(args, datasets, server_cfg, mm_cfg, bert_config=bert_cfg)
     scores = algo.train(0)
     assert "i2t" in scores
+
+
+def test_save_client_snapshots(tiny_run):
+    """--save_client produces loadable per-client bundles named like the
+    reference's Client{k}-model_{epoch} files
+    (ClientTrainer.py:207-208)."""
+    import os
+
+    from creamfl_tpu.utils.serialize import load_checkpoint
+
+    args, algo, _, tmp_path = tiny_run
+    algo._save_clients(algo.clients, round_n=0)
+    root = tmp_path / "saved_clients"
+    paths = sorted(str(p.relative_to(root)) for p in root.rglob("*.ckpt"))
+    assert paths == [os.path.join(c.kind, f"Client{c.client_id}-model_"
+                                  f"{args.local_epochs}.ckpt")
+                     for c in sorted(algo.clients,
+                                     key=lambda c: (c.kind, c.client_id))]
+    bundle = load_checkpoint(str(root / paths[0]))
+    assert bundle["round"] == 1
+    assert "params" in bundle and "batch_stats" in bundle
