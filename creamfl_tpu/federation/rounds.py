@@ -419,16 +419,18 @@ class MMFL:
         for c in members:
             c.state = engine.set_round_lr(c.state, round_n)
 
+        def next_keys(n):
+            self.key, *subs = jax.random.split(self.key, n + 1)
+            return jnp.stack(subs)
+
         for _ in range(args.local_epochs):
-            for c in members:
-                for batch in c.train_loader:
-                    if kind == "mm":
-                        self.key, sub = jax.random.split(self.key)
-                        c.state, _ = engine.local_step(
-                            c.state, _device_batch(batch), sub)
-                    else:
-                        c.state, _ = engine.task_step(
-                            c.state, _device_batch(batch))
+            states = S.stacked_task_epoch(
+                engine, [c.state for c in members],
+                [c.train_loader for c in members], _device_batch,
+                mm=(kind == "mm"), next_keys=next_keys,
+                sharding=sharding)
+            for c, s in zip(members, states):
+                c.state = s
             if do_inter or do_intra:
                 states = [c.state for c in members]
                 if kind == "mm":

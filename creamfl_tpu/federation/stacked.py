@@ -11,8 +11,12 @@ all of them per batch — semantics identical to the sequential loop
 chip's utilization headroom and sharded over the mesh's ``client`` axis
 on a slice.
 
-Local task epochs keep per-client loaders (different data, different
-batch counts) and stay sequential for exact parity.
+Local task epochs stack too (``stacked_task_epoch``): per-client loaders
+differ in data and batch count, so clients advance in lock-step over
+their own streams and exhausted clients are masked out — a
+``jnp.where`` select keeps their state frozen, which is exactly what
+the sequential loop computes (client states are independent).
+``--no_client_parallel`` remains the sequential parity oracle.
 """
 
 from __future__ import annotations
@@ -34,6 +38,70 @@ def _place(tree, sharding):
     if sharding is None or tree is None or tree == {}:
         return tree
     return jax.device_put(tree, sharding)
+
+
+def _select_state(active, new_state, old_state):
+    """Keep ``new_state`` where ``active`` (a scalar bool per vmapped
+    client), else freeze the old state — the masked equivalent of 'this
+    client's loader is exhausted, skip it'."""
+    return jax.tree.map(lambda n, o: jnp.where(active, n, o),
+                        new_state, old_state)
+
+
+def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
+                       device_batch_fn, mm: bool = False, next_keys=None,
+                       sharding=None) -> List[EngineState]:
+    """One local task epoch for C stacked clients of one family, each on
+    its OWN loader (reference HOT LOOP 3, ClientTrainer.py:322-367 /
+    MMClientTrainer.py:112-142 run these sequentially per client).
+
+    Clients advance in lock-step; when a client's stream runs out before
+    the family max, its slot replays its last batch with ``active=False``
+    so the vmapped program keeps a static shape while the select freezes
+    its state. ``next_keys(C)`` supplies per-step dropout keys for mm
+    clients.
+    """
+    stacked = _place(stack_states(list(states)), sharding)
+    iters = [iter(loader) for loader in loaders]
+
+    if mm:
+        def one(state, batch, active, key):
+            new_state, _ = engine.local_step(state, batch, key)
+            return _select_state(active, new_state, state)
+
+        vstep = jax.vmap(one, in_axes=(0, 0, 0, 0))
+    else:
+        def one(state, batch, active):
+            new_state, _ = engine.task_step(state, batch)
+            return _select_state(active, new_state, state)
+
+        vstep = jax.vmap(one, in_axes=(0, 0, 0))
+
+    last = [None] * len(iters)
+    while True:
+        batches, active = [], []
+        for i, it in enumerate(iters):
+            b = next(it, None)
+            if b is None:
+                active.append(False)
+                batches.append(last[i])
+            else:
+                active.append(True)
+                last[i] = device_batch_fn(b)
+                batches.append(last[i])
+        if not any(active):
+            break
+        if any(b is None for b in batches):  # client with an empty loader
+            filler = next(b for b in batches if b is not None)
+            batches = [filler if b is None else b for b in batches]
+        stacked_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        amask = jnp.asarray(active)
+        if mm:
+            stacked = vstep(stacked, stacked_batch, amask,
+                            next_keys(len(iters)))
+        else:
+            stacked = vstep(stacked, stacked_batch, amask)
+    return unstack_states(stacked, len(states))
 
 
 def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],

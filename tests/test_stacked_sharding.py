@@ -63,3 +63,83 @@ def test_sharded_stacked_contrast_matches_unsharded(rng):
         for x, y in zip(flat_a, flat_b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-6)
+
+
+class _ListLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_stacked_task_epoch_matches_sequential(rng):
+    """stacked_task_epoch == per-client sequential task loop, including
+    clients with different batch counts (VERDICT r1 next #4)."""
+    args = types.SimpleNamespace(img_model_local="resnet10",
+                                 feature_dim=8, mlp_local=False,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = UniClientEngine("txt", num_class=4, args=args, vocab_size=20)
+
+    def make_batch(i):
+        r = np.random.default_rng(i)
+        return {"captions": r.integers(1, 20, size=(4, 5)).astype(np.int32),
+                "lengths": np.full((4,), 5, np.int32),
+                "labels": r.integers(0, 4, size=(4,)).astype(np.int32)}
+
+    # Uneven streams: 3, 1, and 2 batches.
+    loaders = [_ListLoader([make_batch(i * 10 + j) for j in range(n)])
+               for i, n in enumerate((3, 1, 2))]
+    sample = make_batch(0)
+    states = [engine.init_state(jax.random.PRNGKey(i), sample)
+              for i in range(3)]
+
+    def dev(batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # Sequential reference.
+    seq = []
+    for st, loader in zip(states, loaders):
+        for batch in loader:
+            st, _ = engine.task_step(st, dev(batch))
+        seq.append(st)
+
+    got = S.stacked_task_epoch(engine, states, loaders, dev, mm=False)
+
+    for a, b in zip(seq, got):
+        assert int(a.step) == int(b.step)
+        for x, y in zip(jax.tree.leaves(a.params),
+                        jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
+        for x, y in zip(jax.tree.leaves(a.opt_state),
+                        jax.tree.leaves(b.opt_state)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_stacked_task_epoch_sharded(rng):
+    """Task epoch also runs under a client-axis sharding."""
+    args = types.SimpleNamespace(img_model_local="resnet10",
+                                 feature_dim=8, mlp_local=False,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = UniClientEngine("txt", num_class=4, args=args, vocab_size=20)
+    batch = {"captions": np.ones((4, 5), np.int32),
+             "lengths": np.full((4,), 5, np.int32),
+             "labels": np.zeros((4,), np.int32)}
+    loaders = [_ListLoader([batch]) for _ in range(8)]
+    states = [engine.init_state(jax.random.PRNGKey(i), batch)
+              for i in range(8)]
+
+    def dev(b):
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    mesh = make_mesh(n_client=8, n_data=1)
+    plain = S.stacked_task_epoch(engine, states, loaders, dev, mm=False)
+    shard = S.stacked_task_epoch(engine, states, loaders, dev, mm=False,
+                                 sharding=client_sharding(mesh))
+    for a, b in zip(plain, shard):
+        for x, y in zip(jax.tree.leaves(a.params),
+                        jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
