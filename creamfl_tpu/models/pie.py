@@ -68,5 +68,7 @@ class PIENet(nn.Module):
                               deterministic=deterministic)(residual)
         if self.n_embeds > 1:
             out = jnp.repeat(out[:, None, :], self.n_embeds, axis=1)
-        out = nn.LayerNorm(name="layer_norm")(out + residual)
+        # epsilon matches torch nn.LayerNorm's default (the reference
+        # module, pie_model.py:55) — flax's default is 1e-6.
+        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out + residual)
         return out, attn, residual

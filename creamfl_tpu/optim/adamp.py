@@ -34,7 +34,8 @@ class AdamPState(NamedTuple):
 
 
 def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
-                   delta: float, wd_ratio: float, eps: float):
+                   delta: float, wd_ratio: float, eps: float,
+                   channel_axis: int = -1):
     """Channel-view then layer-view projection; returns (perturb, wd).
 
     Torch AdamP's channel view is ``weight.view(out_channels, -1)`` —
@@ -42,13 +43,16 @@ def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
     Flax kernels put output features LAST (Dense [in,out], Conv
     [kh,kw,I,O]), so the channel view here groups by the last axis to
     match the algorithm's intent (per-output-channel scale invariance
-    under a following Norm layer).
+    under a following Norm layer). Exception: ``nn.Embed``'s table is
+    [vocab, features] exactly like torch's, so its caller passes
+    ``channel_axis=0`` (one row per vocab entry, matching the reference
+    optimizer's grouping).
     """
 
     def to_channels(x):
-        # [..., out] -> [out, prod(rest)]
-        return jnp.moveaxis(x, -1, 0).reshape(x.shape[-1], -1).astype(
-            jnp.float32)
+        # channel axis -> leading, flatten the rest: [C, prod(rest)]
+        return jnp.moveaxis(x, channel_axis, 0).reshape(
+            x.shape[channel_axis], -1).astype(jnp.float32)
 
     def cosine_max(xv, yv):
         dot = jnp.sum(xv * yv, axis=1)
@@ -115,12 +119,18 @@ def adamp(learning_rate: optax.ScalarOrSchedule,
               if callable(learning_rate) else learning_rate)
         step_size = lr / bc1
 
-        def leaf_update(p, g, m, v):
+        def leaf_update(path, p, g, m, v):
             denom = jnp.sqrt(v / bc2) + eps
             perturb = m / denom
             if p.ndim > 1:
+                # nn.Embed tables are [vocab, features] — same layout as
+                # torch — so their channel view groups by the FIRST axis;
+                # Dense/Conv kernels put output features last.
+                leaf_name = str(getattr(path[-1], "key", path[-1]))
+                channel_axis = 0 if leaf_name == "embedding" else -1
                 perturb, wd = _project_views(p, g, perturb, delta,
-                                             wd_ratio, eps)
+                                             wd_ratio, eps,
+                                             channel_axis=channel_axis)
             else:
                 wd = jnp.float32(1.0)
             delta_p = -step_size * perturb
@@ -129,7 +139,8 @@ def adamp(learning_rate: optax.ScalarOrSchedule,
                 delta_p = delta_p - lr * weight_decay * wd * p
             return delta_p.astype(p.dtype)
 
-        new_updates = jax.tree.map(leaf_update, params, updates, mu, nu)
+        new_updates = jax.tree_util.tree_map_with_path(
+            leaf_update, params, updates, mu, nu)
         return new_updates, AdamPState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)

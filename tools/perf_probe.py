@@ -108,13 +108,17 @@ def main():
             lambda p: jnp.sum(p["criterion"]["shift"]), iters=args.iters))
 
     if "resnet" in parts:
-        img_p = state.params["model"]["img_enc"]
-        img_bs = state.batch_stats.get("img_enc", {})
+        from creamfl_tpu.models.pcme import ImageEncoder
+
+        enc = ImageEncoder(cnn_type="resnet101", embed_dim=256,
+                           dtype=jnp.bfloat16)
+        variables = jax.jit(enc.init)(jax.random.PRNGKey(0), images)
+        img_p = variables["params"]
+        img_bs = variables.get("batch_stats", {})
 
         def img_loss(p):
-            out = engine.model.img_enc.apply(
-                {"params": p, "batch_stats": img_bs}, images, True,
-                mutable=["batch_stats"])[0]
+            out = enc.apply({"params": p, "batch_stats": img_bs}, images,
+                            True, mutable=["batch_stats"])[0]
             return jnp.sum(jnp.square(out["embedding"]))
 
         def step(p):
@@ -125,20 +129,37 @@ def main():
             lambda p: jnp.sum(p["fc"]["bias"]), iters=args.iters))
 
     if "bert" in parts:
-        txt_p = state.params["model"]["txt_enc"]
+        from creamfl_tpu.models.bert import BertConfig
+        from creamfl_tpu.models.pcme import TextEncoderBert
+
+        enc = TextEncoderBert(embed_dim=256, bert_config=BertConfig(),
+                              dtype=jnp.bfloat16)
+        variables = jax.jit(enc.init)(jax.random.PRNGKey(0), captions,
+                                      bert_mask)
+        txt_p = variables["params"]
 
         def txt_loss(p):
-            out = engine.model.txt_enc.apply(
-                {"params": p}, captions, bert_mask, True,
-                rngs={"dropout": key})
+            out = enc.apply({"params": p}, captions, bert_mask, True,
+                            rngs={"dropout": key})
+            return jnp.sum(jnp.square(out["embedding"]))
+
+        def txt_loss_nodrop(p):
+            out = enc.apply({"params": p}, captions, bert_mask, False)
             return jnp.sum(jnp.square(out["embedding"]))
 
         def step(p):
             g = jax.grad(txt_loss)(p)
             return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+
+        def step_nodrop(p):
+            g = jax.grad(txt_loss_nodrop)(p)
+            return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
         report("bert", _time_scan(
             step, txt_p,
-            lambda p: jnp.sum(p["fc"]["bias"]), iters=args.iters))
+            lambda p: jnp.sum(p["linear"]["bias"]), iters=args.iters))
+        report("bert_nodrop", _time_scan(
+            step_nodrop, txt_p,
+            lambda p: jnp.sum(p["linear"]["bias"]), iters=args.iters))
 
     if "adamp" in parts:
         grads = jax.jit(jax.grad(loss_only))(state.params)
