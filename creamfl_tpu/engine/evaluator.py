@@ -97,6 +97,7 @@ class RetrievalEvaluator:
                  eval_batch_size: int = 1024,
                  eval_method: str = "matmul",
                  criterion_params=None,
+                 iid_to_cls=None,
                  logger=None):
         self.n_crossfolds = n_crossfolds
         self.n_images_per_crossfold = n_images_per_crossfold
@@ -104,6 +105,11 @@ class RetrievalEvaluator:
         self.eval_batch_size = eval_batch_size
         self.logger = logger
         self.eval_method = eval_method
+        # Optional image_id -> class remap (reference mm_eval.py:127-133:
+        # CUB-style evaluation groups galleries by class instead of
+        # image identity; caption re-sorting and crossfolds are skipped
+        # because class groups repeat).
+        self.iid_to_cls = dict(iid_to_cls) if iid_to_cls else None
         self._sims_fn = None
         if eval_method == "matching_prob":
             # Rank by PCME match probability (reference
@@ -145,6 +151,22 @@ class RetrievalEvaluator:
         cap_feats = np.concatenate(fc_parts)
         cap_img_ids = np.concatenate(id_parts).astype(np.int64)
         cap_ann_ids = np.concatenate(ann_parts).astype(np.int64)
+
+        if self.iid_to_cls is not None:
+            # Class mode: dedup still by image_id, labels become classes,
+            # no caption alignment (reference mm_eval.py:166-179).
+            _, first_idx = np.unique(cap_img_ids, return_index=True)
+            img_rows = first_idx[np.argsort(first_idx, kind="stable")]
+            classes = np.asarray(
+                [self.iid_to_cls.get(int(i), int(i))
+                 for i in cap_img_ids], np.int64)
+            return {
+                "image_features": all_img[img_rows],
+                "caption_features": cap_feats,
+                "image_classes": classes[img_rows],
+                "caption_classes": classes,
+                "caption_ids": cap_ann_ids,
+            }
 
         # First-seen image dedup: np.unique gives sorted-unique + the
         # index of each id's first occurrence; re-sorting those first
@@ -219,6 +241,20 @@ class RetrievalEvaluator:
                          for k in folds[0]}
         return out
 
+    def evaluate_two_tower(self, loader, image_fn: Callable,
+                           caption_fn: Callable,
+                           n_crossfolds: Optional[int] = None) -> Dict:
+        """Two-tower evaluation (reference ``mm_eval.COCOEvaluator``):
+        separate image/caption models instead of one joint model —
+        ``image_fn(batch) -> [B, d]``, ``caption_fn(batch) -> [B, d]``.
+        Everything downstream (dedup, alignment or class grouping,
+        crossfolds, recalls) is shared with the joint-model path."""
+
+        def extract_fn(batch):
+            return image_fn(batch), caption_fn(batch)
+
+        return self.evaluate(loader, extract_fn, n_crossfolds)
+
     def evaluate(self, loader, extract_fn,
                  n_crossfolds: Optional[int] = None) -> Dict:
         feats = self.extract_features(loader, extract_fn)
@@ -226,7 +262,8 @@ class RetrievalEvaluator:
         n_crossfolds = (self.n_crossfolds if n_crossfolds is None
                         else n_crossfolds)
         n_img = len(feats["image_features"])
-        if (n_crossfolds > 0 and
+        # Class mode never runs 1k crossfolds (mm_eval.py:372-373).
+        if (self.iid_to_cls is None and n_crossfolds > 0 and
                 n_img >= n_crossfolds * self.n_images_per_crossfold):
             scores["n_fold"] = self.evaluate_n_fold(feats)
         scores["i2t"] = self.evaluate_recall(
