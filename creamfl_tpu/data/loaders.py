@@ -16,7 +16,9 @@ drop_last surface and optionally pads the final partial batch (with a
 
 from __future__ import annotations
 
+import queue
 import random
+import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -85,6 +87,10 @@ class ArrayLoader:
             self.rng.shuffle(order)
         self._epoch += 1
         bs = self.batch_size
+        # Fast path: a CachedDataset exposes contiguous arrays — one
+        # fancy-index per batch instead of n per-sample stacks.
+        arrays = (getattr(self.dataset, "arrays", None)
+                  if self.collate_fn is None else None)
         for start in range(0, n, bs):
             idxs = order[start:start + bs]
             n_valid = len(idxs)
@@ -94,8 +100,91 @@ class ArrayLoader:
                 if self.pad_last and n_valid > 0:
                     idxs = idxs + [idxs[i % n_valid]
                                    for i in range(bs - n_valid)]
+            if arrays is not None:
+                ids = np.asarray(idxs)
+                batch = {k: a[ids] for k, a in arrays.items()}
+                batch["valid"] = np.arange(len(ids)) < n_valid
+                yield batch
+                continue
             samples = [self.dataset[i] for i in idxs]
             if self.collate_fn is not None:
                 yield self.collate_fn(samples)
             else:
                 yield self._stack(samples, n_valid)
+
+
+class CachedDataset:
+    """Materialize an indexable sample-dict dataset into contiguous host
+    arrays (one-time cost), so epochs over it are pure memcpy.
+
+    The reference leans on torch DataLoader worker processes for this
+    (SURVEY.md L0); this environment is single-core, so paper-scale
+    synthetic runs pre-render instead. ``ArrayLoader`` detects the
+    ``arrays`` attribute and batches by fancy indexing.
+    """
+
+    def __init__(self, dataset, verbose: bool = False):
+        n = len(dataset)
+        first = dataset[0]
+        self.arrays: Dict[str, np.ndarray] = {}
+        for k, v in first.items():
+            arr = np.asarray(v)
+            if arr.dtype == object:
+                continue
+            self.arrays[k] = np.empty((n,) + arr.shape, arr.dtype)
+        for i in range(n):
+            sample = dataset[i]
+            for k, store in self.arrays.items():
+                store[i] = sample[k]
+            if verbose and i and i % 10000 == 0:
+                print(f"cached {i}/{n}", flush=True)
+        self._base = dataset
+
+    def __len__(self):
+        return len(next(iter(self.arrays.values())))
+
+    def __getitem__(self, i: int):
+        return {k: a[i] for k, a in self.arrays.items()}
+
+    def __getattr__(self, name):  # vocab, targets, iid_to_cls, ...
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self.__dict__["_base"], name)
+
+
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable: overlaps host
+    batch assembly with device execution (the torch-DataLoader-workers
+    role, single-process edition — numpy memcpy releases the GIL)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def fill():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=fill, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

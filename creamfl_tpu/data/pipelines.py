@@ -42,27 +42,50 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                              test_size: int = 64,
                              retrieval_test_size: int = 100,
                              batch_size: Optional[int] = None,
-                             bert_tokenizer=None) -> Dict:
-    """Shape-faithful synthetic bundle (scaled-down by default)."""
+                             bert_tokenizer=None,
+                             cache: bool = False,
+                             client_image_size: Optional[int] = None,
+                             prefetch: int = 0) -> Dict:
+    """Shape-faithful synthetic bundle (scaled-down by default).
+
+    ``cache=True`` pre-renders the caption sets into contiguous host
+    arrays (paper-scale runs: sample synthesis would otherwise dominate
+    the single host core); ``prefetch`` wraps the hot loaders in a
+    background-thread prefetcher; ``client_image_size`` lets image
+    clients train at CIFAR resolution (32px) while the public set stays
+    at COCO resolution, like the reference.
+    """
+    from creamfl_tpu.data.loaders import CachedDataset, PrefetchLoader
+
     vocab = vocab or Vocabulary.synthetic(100)
     bs = batch_size or min(args.batch_size, pub_size)
+    client_image_size = client_image_size or image_size
 
-    pub = SyntheticCaptionDataset(
+    def _maybe_cache(ds):
+        return CachedDataset(ds, verbose=True) if cache else ds
+
+    def _maybe_prefetch(loader):
+        return PrefetchLoader(loader, prefetch) if prefetch else loader
+
+    pub = _maybe_cache(SyntheticCaptionDataset(
         n_captions=pub_size, image_size=image_size, max_len=max_len,
-        vocab=vocab, seed=1, bert_tokenizer=bert_tokenizer)
-    test = SyntheticCaptionDataset(
+        vocab=vocab, seed=1, bert_tokenizer=bert_tokenizer))
+    test = _maybe_cache(SyntheticCaptionDataset(
         n_captions=retrieval_test_size, image_size=image_size,
         max_len=max_len, vocab=vocab, seed=2,
-        bert_tokenizer=bert_tokenizer)
+        bert_tokenizer=bert_tokenizer))
 
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": True,
-        "pub_train": ArrayLoader(pub, bs, shuffle=True, drop_last=True,
-                                 seed=args.seed),
-        "pub_eval": ArrayLoader(pub, bs, shuffle=False, pad_last=True),
-        "test": ArrayLoader(test, min(bs, retrieval_test_size),
-                            shuffle=False, pad_last=True),
+        "pub_train": _maybe_prefetch(
+            ArrayLoader(pub, bs, shuffle=True, drop_last=True,
+                        seed=args.seed)),
+        "pub_eval": _maybe_prefetch(
+            ArrayLoader(pub, bs, shuffle=False, pad_last=True)),
+        "test": _maybe_prefetch(
+            ArrayLoader(test, min(bs, retrieval_test_size),
+                        shuffle=False, pad_last=True)),
         "img_num_class": 100,
         "txt_num_class": 4,
         # Synthetic retrieval test is small: shrink the crossfolds.
@@ -76,7 +99,7 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
     if args.num_img_clients > 0:
         full = SyntheticImageClassification(
             n=client_data_size * args.num_img_clients,
-            image_size=image_size, num_classes=100, seed=3)
+            image_size=client_image_size, num_classes=100, seed=3)
         parts = data_partitioner("cifar100", len(full),
                                  args.num_img_clients, "hetero",
                                  alpha=args.alpha,
@@ -88,7 +111,7 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
             for i in range(args.num_img_clients)]
         datasets["img_test"] = ArrayLoader(
             SyntheticImageClassification(n=test_size,
-                                         image_size=image_size,
+                                         image_size=client_image_size,
                                          num_classes=100, seed=4),
             min(bs, test_size), pad_last=True)
     if args.num_txt_clients > 0:
@@ -111,13 +134,14 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
             min(bs, test_size), pad_last=True)
     if args.num_mm_clients > 0:
         datasets["mm_clients"] = [
-            ArrayLoader(
-                SyntheticCaptionDataset(n_captions=client_data_size,
-                                        image_size=image_size,
-                                        max_len=max_len, vocab=vocab,
-                                        seed=100 + i),
+            _maybe_prefetch(ArrayLoader(
+                _maybe_cache(
+                    SyntheticCaptionDataset(n_captions=client_data_size,
+                                            image_size=image_size,
+                                            max_len=max_len, vocab=vocab,
+                                            seed=100 + i)),
                 min(bs, client_data_size), shuffle=True, drop_last=True,
-                seed=args.seed)
+                seed=args.seed))
             for i in range(args.num_mm_clients)]
     return datasets
 

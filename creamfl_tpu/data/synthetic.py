@@ -55,6 +55,14 @@ class SyntheticCaptionDataset:
     def _concept(self, image_id: int) -> int:
         return (image_id * 2654435761 + self.seed) % self.n_concepts
 
+    def _grid(self):
+        if not hasattr(self, "_grid_cache"):
+            s = self.image_size
+            self._grid_cache = np.meshgrid(
+                np.linspace(0, np.pi * 2, s),
+                np.linspace(0, np.pi * 2, s), indexing="ij")
+        return self._grid_cache
+
     def __len__(self):
         return self.n
 
@@ -65,10 +73,9 @@ class SyntheticCaptionDataset:
         img = rng.normal(0.0, 1.0,
                          (self.image_size, self.image_size, 3)).astype(
             np.float32)
-        # Class-dependent low-frequency pattern (visible through convs).
-        s = self.image_size
-        yy, xx = np.meshgrid(np.linspace(0, np.pi * 2, s),
-                             np.linspace(0, np.pi * 2, s), indexing="ij")
+        # Class-dependent low-frequency pattern (visible through convs);
+        # the meshgrid is cached per dataset (hot at paper scale).
+        yy, xx = self._grid()
         img[..., 0] += self.signal * np.sin((concept + 1) * xx)
         img[..., 1] += self.signal * np.cos((concept + 1) * yy)
 

@@ -84,6 +84,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
                         help='use synthetic datasets (no real data needed)')
     parser.add_argument('--smoke', action='store_true', default=False,
                         help='tiny shapes: small models/images/public set')
+    parser.add_argument('--paper_scale', action='store_true',
+                        default=False,
+                        help='full paper geometry on synthetic data: '
+                             '50k public set @224px, R101+BERT, 25k-'
+                             'caption retrieval eval (pre-rendered '
+                             'into RAM)')
     parser.add_argument('--coco_root', type=str, default=None)
     parser.add_argument('--cifar_root', type=str, default=None)
     parser.add_argument('--agnews_root', type=str, default=None)
@@ -171,12 +177,24 @@ def build_datasets(args):
                   f"falling back to --synthetic")
     bert_tok = (None if args.not_bert
                 else BertWordPieceTokenizer.synthetic())
-    scale = dict(pub_size=128, image_size=64, max_len=12,
-                 client_data_size=64, test_size=32,
-                 retrieval_test_size=60) if args.smoke else dict(
-        pub_size=min(args.pub_data_num, 2048), image_size=224,
-        max_len=32, client_data_size=512, test_size=256,
-        retrieval_test_size=500)
+    if args.smoke:
+        scale = dict(pub_size=128, image_size=64, max_len=12,
+                     client_data_size=64, test_size=32,
+                     retrieval_test_size=60)
+    elif getattr(args, "paper_scale", False):
+        # Full paper geometry (MMFL.py round schedule / BASELINE.md):
+        # 50k public captions at 224px, CIFAR-resolution image clients,
+        # COCO-5K-test-sized retrieval eval. Caption sets are
+        # pre-rendered into RAM and loaders prefetch on a thread so the
+        # single host core can feed the chip.
+        scale = dict(pub_size=args.pub_data_num, image_size=224,
+                     max_len=32, client_data_size=5000, test_size=1024,
+                     retrieval_test_size=25000, cache=True,
+                     client_image_size=32, prefetch=2)
+    else:
+        scale = dict(pub_size=min(args.pub_data_num, 2048),
+                     image_size=224, max_len=32, client_data_size=512,
+                     test_size=256, retrieval_test_size=500)
     return pipelines.build_synthetic_datasets(args,
                                               bert_tokenizer=bert_tok,
                                               **scale)

@@ -115,3 +115,32 @@ def test_bert_wordpiece_real_matching():
 
     ids, _ = tok.encode("zzz", max_length=6)
     assert ids[1] == 1  # UNK
+
+
+def test_cached_dataset_and_prefetch_match_plain():
+    """CachedDataset + fancy-index fast path + PrefetchLoader produce
+    identical batches to the per-sample path."""
+    import types
+
+    import numpy as np
+
+    from creamfl_tpu.data.loaders import (ArrayLoader, CachedDataset,
+                                          PrefetchLoader)
+    from creamfl_tpu.data.synthetic import SyntheticCaptionDataset
+
+    ds = SyntheticCaptionDataset(n_captions=13, image_size=16, max_len=8)
+    plain = ArrayLoader(ds, 4, shuffle=True, pad_last=True, seed=11)
+    cached = PrefetchLoader(
+        ArrayLoader(CachedDataset(ds), 4, shuffle=True, pad_last=True,
+                    seed=11), depth=2)
+    assert len(plain) == len(cached)
+    batches_a = list(plain)
+    batches_b = list(cached)
+    assert len(batches_a) == len(batches_b)
+    for a, b in zip(batches_a, batches_b):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+    # Attribute passthrough (vocab etc.).
+    assert CachedDataset(ds).vocab is ds.vocab

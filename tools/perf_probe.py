@@ -91,6 +91,17 @@ def main():
             step, state, lambda s: jnp.sum(s.params["criterion"]["shift"]),
             iters=args.iters))
 
+    if "full_rbg" in parts:
+        rbg_key = jax.random.key(1, impl="rbg")
+
+        def step(s):
+            new_s, _ = engine.train_step(s, images, captions, lengths,
+                                         bert_mask, rbg_key)
+            return new_s
+        report("full_rbg", _time_scan(
+            step, state, lambda s: jnp.sum(s.params["criterion"]["shift"]),
+            iters=args.iters))
+
     if "fwd_bwd" in parts:
         def step(params):
             g = jax.grad(loss_only)(params)
