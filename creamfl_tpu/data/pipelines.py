@@ -45,7 +45,9 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                              bert_tokenizer=None,
                              cache: bool = False,
                              client_image_size: Optional[int] = None,
-                             prefetch: int = 0) -> Dict:
+                             prefetch: int = 0,
+                             mm_client_data_size: Optional[int] = None
+                             ) -> Dict:
     """Shape-faithful synthetic bundle (scaled-down by default).
 
     ``cache=True`` pre-renders the caption sets into contiguous host
@@ -133,14 +135,17 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                                         seed=6),
             min(bs, test_size), pad_last=True)
     if args.num_mm_clients > 0:
+        # mm shards are smaller than unimodal ones (the reference's F30k
+        # k-split gives ~2k pairs/client vs CIFAR's 5k).
+        mm_n = mm_client_data_size or client_data_size
         datasets["mm_clients"] = [
             _maybe_prefetch(ArrayLoader(
                 _maybe_cache(
-                    SyntheticCaptionDataset(n_captions=client_data_size,
+                    SyntheticCaptionDataset(n_captions=mm_n,
                                             image_size=image_size,
                                             max_len=max_len, vocab=vocab,
                                             seed=100 + i)),
-                min(bs, client_data_size), shuffle=True, drop_last=True,
+                min(bs, mm_n), shuffle=True, drop_last=True,
                 seed=args.seed))
             for i in range(args.num_mm_clients)]
     return datasets

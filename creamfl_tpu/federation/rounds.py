@@ -66,7 +66,9 @@ class MMFL:
         self.logger = logger or PythonLogger()
         self.tracker = tracker or NoOpTracker()
         self.rng = random.Random(args.seed)
-        self.key = jax.random.PRNGKey(args.seed)
+        from creamfl_tpu.utils.helper import fast_prng_key
+
+        self.key = fast_prng_key(args.seed)
 
         vocab_size = len(datasets["vocab"])
         self.server = ServerEngine(server_config, vocab_size,

@@ -188,7 +188,8 @@ def build_datasets(args):
         # pre-rendered into RAM and loaders prefetch on a thread so the
         # single host core can feed the chip.
         scale = dict(pub_size=args.pub_data_num, image_size=224,
-                     max_len=32, client_data_size=5000, test_size=1024,
+                     max_len=32, client_data_size=5000,
+                     mm_client_data_size=2000, test_size=1024,
                      retrieval_test_size=25000, cache=True,
                      client_image_size=32, prefetch=2)
     else:

@@ -54,13 +54,13 @@ class BertLayer(nn.Module):
         def dense(features, name):
             return nn.Dense(features, dtype=self.dtype, name=name)
 
-        # Fused QKV projection: one [d, 3d] matmul instead of three
-        # [d, d] — fewer kernel dispatches and a better MXU shape at
-        # short sequence lengths (L=32 captions). hf_bert_to_flax packs
-        # the pretrained q/k/v weights accordingly.
-        qkv = dense(3 * d, "qkv")(h)
-        q, k, v = (t.reshape(b, l, nh, hd)
-                   for t in jnp.split(qkv, 3, axis=-1))
+        # Separate Q/K/V projections, HF layout. (A fused [d, 3d]
+        # projection was probed on-chip and measured neutral-to-slower —
+        # XLA already schedules the three matmuls back-to-back and the
+        # fused variant pays an extra split copy; see BENCH.md.)
+        q = dense(d, "q")(h).reshape(b, l, nh, hd)
+        k = dense(d, "k")(h).reshape(b, l, nh, hd)
+        v = dense(d, "v")(h).reshape(b, l, nh, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(hd, h.dtype))
         scores = scores + attn_bias  # [B, 1, 1, L] additive mask

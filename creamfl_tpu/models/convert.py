@@ -114,17 +114,10 @@ def hf_bert_to_flax(sd: Dict[str, np.ndarray], num_layers: int = 12
     }
     for i in range(num_layers):
         b = f"encoder.layer.{i}."
-        # BertLayer uses one fused [d, 3d] QKV projection; pack the HF
-        # per-projection weights. The fused layout reshapes to
-        # [..., 3, heads, head_dim], so concatenation on the output
-        # feature axis in q/k/v order is exact.
-        q, k, v = (_lin(sd, b + f"attention.self.{name}")
-                   for name in ("query", "key", "value"))
         params[f"layer_{i}"] = {
-            "qkv": {"kernel": np.concatenate(
-                        [q["kernel"], k["kernel"], v["kernel"]], axis=1),
-                    "bias": np.concatenate(
-                        [q["bias"], k["bias"], v["bias"]])},
+            "q": _lin(sd, b + "attention.self.query"),
+            "k": _lin(sd, b + "attention.self.key"),
+            "v": _lin(sd, b + "attention.self.value"),
             "attn_out": _lin(sd, b + "attention.output.dense"),
             "attn_ln": _ln(sd, b + "attention.output.LayerNorm"),
             "ffn_in": _lin(sd, b + "intermediate.dense"),

@@ -54,3 +54,19 @@ def to_one_hot(labels, n_dims: int):
     import jax.nn
 
     return jax.nn.one_hot(labels, n_dims)
+
+
+def fast_prng_key(seed: int):
+    """PRNG key for dropout/sampling in hot loops.
+
+    The ``rbg`` implementation (XLA RngBitGenerator) generates random
+    bits ~4% faster per server train step than threefry on the chip
+    (BENCH.md probe); semantics are identical for dropout. Falls back
+    to the default threefry key if the impl is unavailable.
+    """
+    import jax
+
+    try:
+        return jax.random.key(seed, impl="rbg")
+    except Exception:
+        return jax.random.PRNGKey(seed)
