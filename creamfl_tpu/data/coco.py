@@ -73,6 +73,19 @@ class CocoCaptionsCap:
                              if i in anns})
         self.iid_to_cls = None  # PMRP class mode unused by CreamFL
 
+        # Native C++ tokenizer for the hot path when the library is
+        # built (parity-tested against caption_to_ids in
+        # tests/test_native.py); falls back to the Python tokenizer.
+        self._native_vocab = None
+        if vocab is not None:
+            from creamfl_tpu.data import native
+
+            if native.available():
+                try:
+                    self._native_vocab = native.NativeVocab(vocab)
+                except Exception:
+                    self._native_vocab = None
+
     def __len__(self):
         return len(self.ids)
 
@@ -91,14 +104,23 @@ class CocoCaptionsCap:
         image_id = ann["image_id"]
         caption = ann["caption"]
         img = self._load_image(image_id)
-        ids = caption_to_ids(caption, self.vocab, self.caption_drop_prob,
-                             self.rng)[: self.max_len]
-        tokens = np.zeros((self.max_len,), np.int32)
-        tokens[: len(ids)] = ids
+        if self._native_vocab is not None:
+            toks, lens = self._native_vocab.tokenize_batch(
+                [str(caption)], self.max_len, self.caption_drop_prob,
+                seed=self.rng.getrandbits(63)
+                if self.caption_drop_prob > 0 else 0)
+            tokens, n_ids = toks[0], int(lens[0])
+        else:
+            ids = caption_to_ids(caption, self.vocab,
+                                 self.caption_drop_prob,
+                                 self.rng)[: self.max_len]
+            tokens = np.zeros((self.max_len,), np.int32)
+            tokens[: len(ids)] = ids
+            n_ids = len(ids)
         sample = {
             "images": img.astype(np.float32),
             "captions": tokens,
-            "lengths": np.int32(len(ids)),
+            "lengths": np.int32(n_ids),
             "ann_ids": np.int64(ann_id),
             "image_ids": np.int64(image_id),
             "index": np.int64(index),
