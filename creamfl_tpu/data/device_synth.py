@@ -1,0 +1,84 @@
+"""On-accelerator synthesis of the paper-scale synthetic image sets.
+
+Why this exists: this build VM demand-faults fresh host memory at
+~10 MB/s (hypervisor paging; measured — a 30 GB in-RAM image cache
+would take an hour to even allocate), and per-sample host generation
+costs ~3 ms x 50k x several passes per federated round. TPU-native
+answer: the tiny per-caption fields (int32 ids, lengths, bookkeeping)
+are pre-rendered on the host, and the 224^2 image tensors are
+synthesized INSIDE jit on the device from ``(seed, image_id)`` — the
+same distribution as ``SyntheticCaptionDataset._image`` (standard
+normal + per-concept low-frequency pattern), at HBM bandwidth instead
+of host-RAM-fault bandwidth.
+
+Used by the ``--paper_scale`` pipeline; correctness runs keep the host
+path (identical structure, parity-tested loaders).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creamfl_tpu.utils.helper import fast_prng_key
+
+
+class DeviceImageSynth:
+    """Jitted ``(image_ids, concepts) -> [B, s, s, 3]`` generator."""
+
+    def __init__(self, image_size: int, seed: int = 0,
+                 n_concepts: int = 10, signal: float = 0.8):
+        s = image_size
+        lin = np.linspace(0, 2 * np.pi, s)
+        yy, xx = np.meshgrid(lin, lin, indexing="ij")
+        pats = np.stack([
+            np.stack([signal * np.sin((c + 1) * xx),
+                      signal * np.cos((c + 1) * yy),
+                      np.zeros_like(xx)], axis=-1)
+            for c in range(n_concepts)]).astype(np.float32)
+        patterns = jnp.asarray(pats)  # [C, s, s, 3]
+        base = fast_prng_key(seed)
+
+        @jax.jit
+        def gen(image_ids: jnp.ndarray, concepts: jnp.ndarray):
+            def one(iid, concept):
+                key = jax.random.fold_in(base, iid)
+                img = jax.random.normal(key, (s, s, 3), jnp.float32)
+                return img + patterns[concept]
+
+            return jax.vmap(one)(image_ids, concepts)
+
+        self._gen = gen
+
+    def __call__(self, image_ids: np.ndarray,
+                 concepts: np.ndarray) -> jax.Array:
+        return self._gen(jnp.asarray(image_ids, jnp.int32),
+                         jnp.asarray(concepts, jnp.int32))
+
+
+class DeviceImageBatches:
+    """Wrap a captions-only batch loader; attach device images.
+
+    ``concept_fn(image_id) -> int`` is the dataset's concept hash
+    (computed host-side in exact Python-int arithmetic)."""
+
+    def __init__(self, base_loader, synth: DeviceImageSynth,
+                 concept_fn: Callable[[int], int]):
+        self.base = base_loader
+        self.synth = synth
+        self.concept_fn = concept_fn
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __iter__(self) -> Iterator[dict]:
+        for batch in self.base:
+            iids = np.asarray(batch["image_ids"])
+            concepts = np.asarray([self.concept_fn(int(i))
+                                   for i in iids], np.int32)
+            out = dict(batch)
+            out["images"] = self.synth(iids, concepts)
+            yield out

@@ -46,8 +46,8 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                              cache: bool = False,
                              client_image_size: Optional[int] = None,
                              prefetch: int = 0,
-                             mm_client_data_size: Optional[int] = None
-                             ) -> Dict:
+                             mm_client_data_size: Optional[int] = None,
+                             device_images: bool = False) -> Dict:
     """Shape-faithful synthetic bundle (scaled-down by default).
 
     ``cache=True`` pre-renders the caption sets into contiguous host
@@ -69,25 +69,43 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
     def _maybe_prefetch(loader):
         return PrefetchLoader(loader, prefetch) if prefetch else loader
 
-    pub = _maybe_cache(SyntheticCaptionDataset(
+    def _caption_loader(base_ds, store, **kw):
+        """Loader over a caption dataset; with ``device_images`` the
+        images are synthesized on-accelerator per batch
+        (data/device_synth.py) and only caption fields live on host."""
+        loader = _maybe_prefetch(ArrayLoader(store, **kw))
+        if not device_images:
+            return loader
+        from creamfl_tpu.data.device_synth import (DeviceImageBatches,
+                                                   DeviceImageSynth)
+
+        synth = DeviceImageSynth(base_ds.image_size, seed=base_ds.seed,
+                                 n_concepts=base_ds.n_concepts,
+                                 signal=base_ds.signal)
+        return DeviceImageBatches(loader, synth, base_ds._concept)
+
+    pub_ds = SyntheticCaptionDataset(
         n_captions=pub_size, image_size=image_size, max_len=max_len,
-        vocab=vocab, seed=1, bert_tokenizer=bert_tokenizer))
-    test = _maybe_cache(SyntheticCaptionDataset(
+        vocab=vocab, seed=1, bert_tokenizer=bert_tokenizer,
+        with_images=not device_images)
+    test_ds = SyntheticCaptionDataset(
         n_captions=retrieval_test_size, image_size=image_size,
         max_len=max_len, vocab=vocab, seed=2,
-        bert_tokenizer=bert_tokenizer))
+        bert_tokenizer=bert_tokenizer, with_images=not device_images)
+    pub = _maybe_cache(pub_ds)
+    test = _maybe_cache(test_ds)
 
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": True,
-        "pub_train": _maybe_prefetch(
-            ArrayLoader(pub, bs, shuffle=True, drop_last=True,
-                        seed=args.seed)),
-        "pub_eval": _maybe_prefetch(
-            ArrayLoader(pub, bs, shuffle=False, pad_last=True)),
-        "test": _maybe_prefetch(
-            ArrayLoader(test, min(bs, retrieval_test_size),
-                        shuffle=False, pad_last=True)),
+        "pub_train": _caption_loader(pub_ds, pub, batch_size=bs,
+                                     shuffle=True, drop_last=True,
+                                     seed=args.seed),
+        "pub_eval": _caption_loader(pub_ds, pub, batch_size=bs,
+                                    shuffle=False, pad_last=True),
+        "test": _caption_loader(test_ds, test,
+                                batch_size=min(bs, retrieval_test_size),
+                                shuffle=False, pad_last=True),
         "img_num_class": 100,
         "txt_num_class": 4,
         # Synthetic retrieval test is small: shrink the crossfolds.
@@ -138,16 +156,18 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
         # mm shards are smaller than unimodal ones (the reference's F30k
         # k-split gives ~2k pairs/client vs CIFAR's 5k).
         mm_n = mm_client_data_size or client_data_size
-        datasets["mm_clients"] = [
-            _maybe_prefetch(ArrayLoader(
-                _maybe_cache(
-                    SyntheticCaptionDataset(n_captions=mm_n,
-                                            image_size=image_size,
-                                            max_len=max_len, vocab=vocab,
-                                            seed=100 + i)),
-                min(bs, mm_n), shuffle=True, drop_last=True,
-                seed=args.seed))
+        mm_datasets = [
+            SyntheticCaptionDataset(n_captions=mm_n,
+                                    image_size=image_size,
+                                    max_len=max_len, vocab=vocab,
+                                    seed=100 + i,
+                                    with_images=not device_images)
             for i in range(args.num_mm_clients)]
+        datasets["mm_clients"] = [
+            _caption_loader(ds, _maybe_cache(ds),
+                            batch_size=min(bs, mm_n), shuffle=True,
+                            drop_last=True, seed=args.seed)
+            for ds in mm_datasets]
     return datasets
 
 

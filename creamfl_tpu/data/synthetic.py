@@ -38,7 +38,8 @@ class SyntheticCaptionDataset:
                  max_len: int = 16, vocab: Vocabulary | None = None,
                  captions_per_image: int = 5, seed: int = 0,
                  n_concepts: int = 10, signal: float = 0.8,
-                 bert_tokenizer=None, bert_max_len: int = 32):
+                 bert_tokenizer=None, bert_max_len: int = 32,
+                 with_images: bool = True):
         self.n = n_captions
         self.image_size = image_size
         self.max_len = max_len
@@ -50,10 +51,23 @@ class SyntheticCaptionDataset:
         self.n_images = -(-n_captions // captions_per_image)
         self.iid_to_cls = None
         self.bert_tokenizer = bert_tokenizer
+        self.with_images = with_images
         self.bert_max_len = bert_max_len
 
     def _concept(self, image_id: int) -> int:
         return (image_id * 2654435761 + self.seed) % self.n_concepts
+
+    def _image(self, image_id: int, concept: int) -> np.ndarray:
+        rng = _img_rng(self.seed, image_id)
+        # float32 sampling: half the bits + no astype pass vs
+        # normal().astype (2x faster at paper scale).
+        img = rng.standard_normal(
+            (self.image_size, self.image_size, 3), dtype=np.float32)
+        # Class-dependent low-frequency pattern (visible through convs).
+        pat0, pat1 = self._pattern(concept)
+        img[..., 0] += pat0
+        img[..., 1] += pat1
+        return img
 
     def _pattern(self, concept: int):
         """Per-concept class pattern, cached (n_concepts small; computing
@@ -78,15 +92,8 @@ class SyntheticCaptionDataset:
     def __getitem__(self, index: int):
         image_id = index // self.cpi
         concept = self._concept(image_id)
-        rng = _img_rng(self.seed, image_id)
-        # float32 sampling: half the bits + no astype pass vs
-        # normal().astype (2x faster at paper scale).
-        img = rng.standard_normal(
-            (self.image_size, self.image_size, 3), dtype=np.float32)
-        # Class-dependent low-frequency pattern (visible through convs).
-        pat0, pat1 = self._pattern(concept)
-        img[..., 0] += pat0
-        img[..., 1] += pat1
+        img = (self._image(image_id, concept)
+               if self.with_images else None)
 
         crng = _img_rng(self.seed + 1, index)
         length = int(crng.integers(6, self.max_len))
@@ -103,13 +110,14 @@ class SyntheticCaptionDataset:
         ids[1:length - 1] = body
         ids[length - 1] = self.vocab("<end>")
         sample = {
-            "images": img,
             "captions": ids,
             "lengths": np.int32(length),
             "ann_ids": np.int64(index),
             "image_ids": np.int64(image_id),
             "index": np.int64(index),
         }
+        if img is not None:
+            sample["images"] = img
         if self.bert_tokenizer is not None:
             words = " ".join(str(i) for i in body[:8])
             bids, bmask = self.bert_tokenizer.encode(words,

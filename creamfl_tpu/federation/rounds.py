@@ -659,6 +659,8 @@ class MMFL:
 def _device_batch(batch) -> Dict[str, jnp.ndarray]:
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.dtype != object:
+        if isinstance(v, jax.Array):  # already on device (device_synth)
+            out[k] = v
+        elif isinstance(v, np.ndarray) and v.dtype != object:
             out[k] = jnp.asarray(v)
     return out

@@ -187,11 +187,16 @@ def build_datasets(args):
         # COCO-5K-test-sized retrieval eval. Caption sets are
         # pre-rendered into RAM and loaders prefetch on a thread so the
         # single host core can feed the chip.
+        # device_images: 224px tensors are synthesized on-accelerator
+        # (data/device_synth.py) — this VM faults fresh host RAM at
+        # ~10 MB/s, so neither a 30 GB host cache nor per-epoch host
+        # generation can feed the chip. Caption fields are cached.
         scale = dict(pub_size=args.pub_data_num, image_size=224,
                      max_len=32, client_data_size=5000,
                      mm_client_data_size=2000, test_size=1024,
                      retrieval_test_size=25000, cache=True,
-                     client_image_size=32, prefetch=2)
+                     client_image_size=32, prefetch=2,
+                     device_images=True)
     else:
         scale = dict(pub_size=min(args.pub_data_num, 2048),
                      image_size=224, max_len=32, client_data_size=512,
