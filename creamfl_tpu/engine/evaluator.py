@@ -73,6 +73,43 @@ def best_positive_ranks(q_features: jnp.ndarray, g_features: jnp.ndarray,
     return ranks.reshape(-1)[:n_q]
 
 
+def best_positive_ranks_sharded(q_features, g_features, q_labels,
+                                g_labels, mesh, block_size: int = 1024,
+                                axes=("client", "data")) -> jnp.ndarray:
+    """Mesh-parallel ranking: query rows shard over the mesh, the
+    gallery replicates, and every device runs the same blocked O(N)
+    reduction on its shard (the eval analogue of the DP server step;
+    the reference evaluates on one GPU only, eval_coco.py:334-445).
+
+    Zero cross-device traffic until the final [n_q] gather.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    n_q = q_features.shape[0]
+    pad = (-n_q) % (n_dev * block_size)
+    qf = jnp.pad(jnp.asarray(q_features), ((0, pad), (0, 0)))
+    ql = jnp.pad(jnp.asarray(q_labels), (0, pad))
+    g = jnp.asarray(g_features)
+    gl = jnp.asarray(g_labels)
+    block = min(block_size, qf.shape[0] // n_dev)
+
+    def per_device(qf_l, g_l, ql_l, gl_l):
+        return best_positive_ranks(qf_l, g_l, ql_l, gl_l,
+                                   block_size=block)
+
+    ranks = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axes), P(), P(axes), P()),
+        out_specs=P(axes)))(qf, g, ql, gl)
+    return ranks[:n_q]
+
+
 def _recall_scores(ranks: np.ndarray) -> Dict[str, float]:
     def recall_at(k):
         return 100.0 * float(np.sum(ranks < k)) / len(ranks)
@@ -98,6 +135,7 @@ class RetrievalEvaluator:
                  eval_method: str = "matmul",
                  criterion_params=None,
                  iid_to_cls=None,
+                 mesh=None,
                  logger=None):
         self.n_crossfolds = n_crossfolds
         self.n_images_per_crossfold = n_images_per_crossfold
@@ -105,6 +143,9 @@ class RetrievalEvaluator:
         self.eval_batch_size = eval_batch_size
         self.logger = logger
         self.eval_method = eval_method
+        # Optional mesh: ranking shards query rows over the devices
+        # (best_positive_ranks_sharded); matmul mode only.
+        self.mesh = mesh
         # Optional image_id -> class remap (reference mm_eval.py:127-133:
         # CUB-style evaluation groups galleries by class instead of
         # image identity; caption re-sorting and crossfolds are skipped
@@ -197,11 +238,16 @@ class RetrievalEvaluator:
     # -- scoring -------------------------------------------------------
     def evaluate_recall(self, q_features, g_features, q_labels,
                         g_labels) -> Dict[str, float]:
-        ranks = np.asarray(best_positive_ranks(
-            jnp.asarray(q_features), jnp.asarray(g_features),
-            jnp.asarray(q_labels), jnp.asarray(g_labels),
-            block_size=min(self.eval_batch_size, max(1, len(q_features))),
-            sims_fn=self._sims_fn))
+        block = min(self.eval_batch_size, max(1, len(q_features)))
+        if self.mesh is not None and self._sims_fn is None:
+            ranks = np.asarray(best_positive_ranks_sharded(
+                q_features, g_features, q_labels, g_labels, self.mesh,
+                block_size=block))
+        else:
+            ranks = np.asarray(best_positive_ranks(
+                jnp.asarray(q_features), jnp.asarray(g_features),
+                jnp.asarray(q_labels), jnp.asarray(g_labels),
+                block_size=block, sims_fn=self._sims_fn))
         return _recall_scores(ranks)
 
     def retrieve(self, q_features, g_features, q_ids, g_ids,

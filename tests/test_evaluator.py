@@ -106,3 +106,25 @@ def test_extract_features_dedup_and_alignment():
                                   [7, 7, 3, 3, 9])
     np.testing.assert_array_equal(feats["caption_ids"],
                                   [70, 71, 30, 31, 90])
+
+
+def test_best_positive_ranks_sharded_matches_single(rng):
+    """Mesh-parallel ranking == single-device ranking (query rows shard
+    over the 8-device mesh, gallery replicated)."""
+    import jax
+
+    from creamfl_tpu.engine.evaluator import best_positive_ranks_sharded
+    from creamfl_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    q = rng.normal(size=(53, 8)).astype(np.float32)
+    g = rng.normal(size=(37, 8)).astype(np.float32)
+    ql = rng.integers(0, 9, size=(53,))
+    gl = np.concatenate([np.arange(9), rng.integers(0, 9, size=(28,))])
+    mesh = make_mesh(n_client=4, n_data=2)
+    got = np.asarray(best_positive_ranks_sharded(
+        q, g, ql, gl, mesh, block_size=4))
+    single = np.asarray(best_positive_ranks(
+        jnp.asarray(q), jnp.asarray(g), jnp.asarray(ql),
+        jnp.asarray(gl), block_size=8))
+    np.testing.assert_array_equal(got, single)
