@@ -219,6 +219,19 @@ def main():
                                        server_bs=128)
                  if on_tpu else None)
 
+    # Measured paper-scale round (written by a --paper_scale run via
+    # tools/record_paper_round.py; measured, not projected).
+    measured_round = None
+    try:
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "PAPER_ROUND.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                measured_round = json.load(f)
+    except Exception:
+        measured_round = None
+
     result = {
         "metric": "server PCME(R101+BERT) train-step throughput"
                   if on_tpu else "server train-step throughput (CPU smoke)",
@@ -234,6 +247,7 @@ def main():
             "conw_aggregate_s": round(conw_dt, 4),
             "projected_full_round_s": (round(projected, 1)
                                        if projected else None),
+            "measured_paper_round": measured_round,
             "baseline_note": "vs 500 samples/s reference roofline "
                              "(V100 fp16; derivation in bench.py docstring "
                              "+ tools/torch_anchor.py)",

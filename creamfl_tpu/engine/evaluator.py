@@ -176,20 +176,25 @@ class RetrievalEvaluator:
         former per-sample loop + O(n_img x n_cap) alignment cost ~125M
         host comparisons per eval (reference keeps the same semantics via
         Python dicts, eval_coco.py:119-223)."""
-        fi_parts, fc_parts, id_parts, ann_parts = [], [], [], []
+        fi_parts, fc_parts, id_parts, ann_parts, valids = ([], [], [],
+                                                           [], [])
         for batch in loader:
             fi, fc = extract_fn(batch)
-            fi = np.asarray(fi)
-            fc = np.asarray(fc)
             valid = np.asarray(batch.get("valid",
                                          np.ones(len(fi), bool))).astype(
                                              bool)
-            fi_parts.append(fi[valid])
-            fc_parts.append(fc[valid])
+            # Keep features on device; a per-batch np.asarray would
+            # force one blocking transfer per batch.
+            fi_parts.append(fi)
+            fc_parts.append(fc)
+            valids.append(valid)
             id_parts.append(np.asarray(batch["image_ids"])[valid])
             ann_parts.append(np.asarray(batch["ann_ids"])[valid])
-        all_img = np.concatenate(fi_parts)
-        cap_feats = np.concatenate(fc_parts)
+        valid_all = np.concatenate(valids)
+        all_img = np.asarray(jnp.concatenate(
+            [jnp.asarray(p) for p in fi_parts]))[valid_all]
+        cap_feats = np.asarray(jnp.concatenate(
+            [jnp.asarray(p) for p in fc_parts]))[valid_all]
         cap_img_ids = np.concatenate(id_parts).astype(np.int64)
         cap_ann_ids = np.concatenate(ann_parts).astype(np.int64)
 

@@ -244,14 +244,18 @@ class ServerEngine:
         return out["image_features"], out["caption_features"]
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 7, 8, 9), donate_argnums=(1,))
+                       static_argnums=(0, 8, 9, 10), donate_argnums=(1,))
     def distill_step(self, state: EngineState, images, captions, lengths,
-                     bert_mask, targets: Dict[str, jnp.ndarray],
+                     bert_mask, aggregated: Dict[str, jnp.ndarray],
+                     rows: jnp.ndarray,
                      use_img: bool, use_txt: bool, use_mm: bool,
                      kd_weight: float, dropout_rng=None
                      ) -> Tuple[EngineState, jnp.ndarray]:
-        """targets: {'img': [B,d], 'txt': [B,d]} gathered rows of the
-        aggregated representations for this batch."""
+        """aggregated: {'img': [N,d], 'txt': [N,d]} full con_w ensembles
+        (device-resident across the epoch); ``rows`` [B] indexes this
+        batch's targets. The gather lives INSIDE the program — eager
+        per-batch gathers cost a dispatch round-trip each on a remote
+        device."""
         if dropout_rng is None:
             dropout_rng = jax.random.PRNGKey(0)
 
@@ -264,19 +268,21 @@ class ServerEngine:
             loss = 0.0
             img_f = out["image_features"].astype(jnp.float32)
             txt_f = out["caption_features"].astype(jnp.float32)
+            t_img = jnp.take(aggregated["img"], rows, axis=0)
+            t_txt = jnp.take(aggregated["txt"], rows, axis=0)
 
             def mse(a, b):
                 return jnp.mean(jnp.square(a - b))
 
             if use_img:
-                loss += kd_weight * mse(img_f, targets["img"])
+                loss += kd_weight * mse(img_f, t_img)
             if use_txt:
-                loss += kd_weight * mse(txt_f, targets["txt"])
+                loss += kd_weight * mse(txt_f, t_txt)
             if use_mm:
                 # The reference adds both terms *again* for mm clients
                 # (MMFL.py:371-378); reproduced for parity.
-                loss += kd_weight * mse(img_f, targets["img"])
-                loss += kd_weight * mse(txt_f, targets["txt"])
+                loss += kd_weight * mse(img_f, t_img)
+                loss += kd_weight * mse(txt_f, t_txt)
             return loss, mut.get("batch_stats", {})
 
         (loss, batch_stats), grads = jax.value_and_grad(

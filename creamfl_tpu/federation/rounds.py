@@ -290,7 +290,13 @@ class MMFL:
                 f"server epoch loss {float(jnp.mean(jnp.stack(losses))):.2f}")
 
     def _extract_global_features(self):
+        """Features stay ON DEVICE end to end: per-batch host fetches
+        (np.asarray) would serialize one transfer round-trip per batch
+        — 781 of them at paper scale. ArrayLoader pads only the final
+        batch (valid rows are always a prefix), so filtering the
+        device-side concatenation is a slice."""
         img_parts, txt_parts, index_parts = [], [], []
+        n_valid = 0
         for batch in self.datasets["pub_eval"]:
             images, captions, lengths, bert_mask = self._server_inputs(
                 batch)
@@ -298,11 +304,14 @@ class MMFL:
                 self.server_state, images, captions, lengths, bert_mask)
             self.server_state = self.server_state.replace(batch_stats=bs)
             valid = np.asarray(batch["valid"])
-            img_parts.append(np.asarray(img_f)[valid])
-            txt_parts.append(np.asarray(txt_f)[valid])
+            assert valid.all() or not valid[valid.argmin():].any(), \
+                "pad must be a suffix"
+            n_valid += int(valid.sum())
+            img_parts.append(img_f)
+            txt_parts.append(txt_f)
             index_parts.append(np.asarray(batch["index"])[valid])
-        self.global_img_feature = jnp.asarray(np.concatenate(img_parts))
-        self.global_txt_feature = jnp.asarray(np.concatenate(txt_parts))
+        self.global_img_feature = jnp.concatenate(img_parts)[:n_valid]
+        self.global_txt_feature = jnp.concatenate(txt_parts)[:n_valid]
         self.distill_index = np.concatenate(index_parts).astype(np.int64)
         self._distill_pos = {int(v): i
                              for i, v in enumerate(self.distill_index)}
@@ -491,8 +500,8 @@ class MMFL:
     def _distill(self, img_vecs, txt_vecs):
         args = self.args
         img_agg, txt_agg = aggregate_modalities(
-            np.stack(img_vecs) if img_vecs else None,
-            np.stack(txt_vecs) if txt_vecs else None,
+            jnp.stack(img_vecs) if img_vecs else None,
+            jnp.stack(txt_vecs) if txt_vecs else None,
             self.global_img_feature, self.global_txt_feature)
         self.img_vec, self.txt_vec = img_agg, txt_agg
         use_img = args.num_img_clients > 0 and img_agg is not None
@@ -501,21 +510,23 @@ class MMFL:
                   and txt_agg is not None)
         if not (use_img or use_txt or use_mm):
             return
+        # Device-resident aggregates for the whole epoch; unused
+        # modalities get a 1-row placeholder (compile-time flags skip
+        # their loss terms, the gather just needs a valid array).
         zeros = jnp.zeros_like(self.global_img_feature[:1])
+        aggregated = {"img": img_agg if img_agg is not None else zeros,
+                      "txt": txt_agg if txt_agg is not None else zeros}
+        # (jnp.take clamps out-of-range rows, so the 1-row placeholder
+        # is safe for the unused modality.)
         for batch in self.datasets["pub_train"]:
             rows = self._batch_rows(batch)
-            targets = {
-                "img": (jnp.take(img_agg, rows, axis=0)
-                        if img_agg is not None else zeros),
-                "txt": (jnp.take(txt_agg, rows, axis=0)
-                        if txt_agg is not None else zeros),
-            }
             images, captions, lengths, bert_mask = self._server_inputs(
                 batch)
             self.key, sub = jax.random.split(self.key)
             self.server_state, _ = self.server.distill_step(
                 self.server_state, images, captions, lengths, bert_mask,
-                targets, use_img, use_txt, use_mm, args.kd_weight, sub)
+                aggregated, rows, use_img, use_txt, use_mm,
+                args.kd_weight, sub)
 
     # -- evaluation -----------------------------------------------------
     def _extract_eval(self, batch):

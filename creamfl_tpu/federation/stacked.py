@@ -167,19 +167,31 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
     return unstack_states(stacked, len(states))
 
 
+def _suffix_valid(valid: np.ndarray) -> int:
+    """Loader pads are a suffix (ArrayLoader pad_last); assert + count."""
+    assert valid.all() or not valid[valid.argmin():].any(), \
+        "pad must be a suffix"
+    return int(valid.sum())
+
+
 def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
                      device_batch_fn,
-                     sharding=None) -> Tuple[np.ndarray, np.ndarray]:
-    """[C, N, d] representations + [N] dataset indices."""
+                     sharding=None) -> Tuple[jnp.ndarray, np.ndarray]:
+    """[C, N, d] representations (device-resident — con_w consumes them
+    on device; per-batch host fetches would cost a transfer round-trip
+    each) + [N] dataset indices."""
     stacked = _place(stack_states(list(states)), sharding)
     vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
     parts, idx_parts = [], []
+    n_valid = 0
     for batch in pub_loader:
         feats = vfeat(stacked, device_batch_fn(batch))  # [C, B, d]
         valid = np.asarray(batch["valid"])
-        parts.append(np.asarray(feats)[:, valid])
+        n_valid += _suffix_valid(valid)
+        parts.append(feats)
         idx_parts.append(np.asarray(batch["index"])[valid])
-    return np.concatenate(parts, axis=1), np.concatenate(idx_parts)
+    reps = jnp.concatenate(parts, axis=1)[:, :n_valid]
+    return reps, np.concatenate(idx_parts)
 
 
 def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
@@ -187,10 +199,12 @@ def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
     stacked = _place(stack_states(list(states)), sharding)
     vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
     img_parts, txt_parts = [], []
+    n_valid = 0
     for batch in pub_loader:
         fi, ft = vfeat(stacked, device_batch_fn(batch))
         valid = np.asarray(batch["valid"])
-        img_parts.append(np.asarray(fi)[:, valid])
-        txt_parts.append(np.asarray(ft)[:, valid])
-    return (np.concatenate(img_parts, axis=1),
-            np.concatenate(txt_parts, axis=1))
+        n_valid += _suffix_valid(valid)
+        img_parts.append(fi)
+        txt_parts.append(ft)
+    return (jnp.concatenate(img_parts, axis=1)[:, :n_valid],
+            jnp.concatenate(txt_parts, axis=1)[:, :n_valid])

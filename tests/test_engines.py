@@ -113,12 +113,13 @@ def test_server_distill_step_moves_towards_targets():
     state = engine.init_state(jax.random.PRNGKey(0), batch)
     images = jnp.asarray(batch["images"])
     captions, lengths, bert_mask = engine._text_inputs(batch)
-    targets = {"img": jnp.ones((2, 16)) / 4.0,
-               "txt": jnp.ones((2, 16)) / 4.0}
+    aggregated = {"img": jnp.ones((2, 16)) / 4.0,
+                  "txt": jnp.ones((2, 16)) / 4.0}
+    rows = jnp.arange(2, dtype=jnp.int32)
     losses = []
     for i in range(4):
         state, loss = engine.distill_step(
-            state, images, captions, lengths, bert_mask, targets,
-            True, True, False, 0.3, jax.random.PRNGKey(i))
+            state, images, captions, lengths, bert_mask, aggregated,
+            rows, True, True, False, 0.3, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
