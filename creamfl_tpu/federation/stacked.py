@@ -21,15 +21,99 @@ the sequential loop computes (client states are independent).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from creamfl_tpu.engine.state import EngineState
 from creamfl_tpu.parallel.client_parallel import (stack_states,
                                                   unstack_states)
+
+# Batches chained per device dispatch in the contrast epochs. Each
+# dispatch of a vmapped client step pays host-side pytree flattening +
+# (on a remote device) transport latency; at paper scale that overhead
+# dominates the cheap text-client steps (BENCH.md). A lax.scan over a
+# chunk amortizes it k-fold; chunking is math-neutral (same step
+# sequence).
+SCAN_CHUNK = 8
+
+
+def _chunks(iterable, k):
+    buf = []
+    for x in iterable:
+        buf.append(x)
+        if len(buf) == k:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _stack_chunk(batches: List[Dict]) -> Dict:
+    """[k] list of same-shape batch dicts -> dict of [k, ...] arrays.
+    Host fields stack on host (one transfer per chunk); device fields
+    (device-synthesized images) stack on device."""
+    first = batches[0]
+    out = {}
+    for key in first:
+        vals = [b[key] for b in batches]
+        if isinstance(first[key], jax.Array):
+            out[key] = jnp.stack(vals)
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _uni_chunk_prog(engine, do_inter: bool, do_intra: bool,
+                    has_old_bs: bool):
+    def run(stacked, old_params, old_bs, batches, idxs, same, other):
+        def one(state, old_p, old_b, batch, globals_):
+            return engine.contrast_step(state, old_p, old_b, batch,
+                                        globals_, do_inter, do_intra)
+
+        vstep = jax.vmap(one, in_axes=(0, 0, 0 if has_old_bs else None,
+                                       None, {"same": None,
+                                              "other": None,
+                                              "index": None}))
+
+        def body(st, inp):
+            batch, idx = inp
+            st, loss = vstep(st, old_params, old_bs, batch,
+                             {"same": same, "other": other,
+                              "index": idx})
+            return st, loss
+
+        return lax.scan(body, stacked, (batches, idxs))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _mm_chunk_prog(engine, do_inter: bool, do_intra: bool,
+                   has_old_bs: bool):
+    def run(stacked, old_params, old_bs, batches, idxs, g_img, g_txt):
+        def one(state, old_p, old_b, batch, globals_):
+            return engine.contrast_step(state, old_p, old_b, batch,
+                                        globals_, do_inter, do_intra)
+
+        vstep = jax.vmap(one, in_axes=(0, 0, 0 if has_old_bs else None,
+                                       None, {"img": None, "txt": None,
+                                              "index": None}))
+
+        def body(st, inp):
+            batch, idx = inp
+            st, loss = vstep(st, old_params, old_bs, batch,
+                             {"img": g_img, "txt": g_txt, "index": idx})
+            return st, loss
+
+        return lax.scan(body, stacked, (batches, idxs))
+
+    return jax.jit(run)
 
 
 def _place(tree, sharding):
@@ -108,9 +192,12 @@ def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
                                old_params_list, old_bs_list,
                                pub_loader, same, other, batch_rows_fn,
                                do_inter: bool, do_intra: bool,
-                               device_batch_fn,
-                               sharding=None) -> List[EngineState]:
-    """One contrast epoch for C stacked unimodal clients of one family."""
+                               device_batch_fn, sharding=None,
+                               scan_chunk: int = SCAN_CHUNK
+                               ) -> List[EngineState]:
+    """One contrast epoch for C stacked unimodal clients of one family.
+    Full chunks of ``scan_chunk`` batches run as one scanned dispatch;
+    the trailing partial chunk runs per-batch (identical math)."""
     stacked = _place(stack_states(list(states)), sharding)
     old_params = _place(
         jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list),
@@ -128,12 +215,23 @@ def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
     vstep = jax.vmap(
         one, in_axes=(0, 0, 0 if old_bs else None, None,
                       {"same": None, "other": None, "index": None}))
+    chunk_prog = _uni_chunk_prog(engine, do_inter, do_intra,
+                                 bool(old_bs))
 
-    for batch in pub_loader:
-        globals_ = {"same": same, "other": other,
-                    "index": batch_rows_fn(batch)}
-        stacked, _ = vstep(stacked, old_params, old_bs if old_bs else None,
-                           device_batch_fn(batch), globals_)
+    for group in _chunks(pub_loader, max(1, scan_chunk)):
+        if len(group) == scan_chunk and scan_chunk > 1:
+            batches = _stack_chunk([device_batch_fn(b) for b in group])
+            idxs = jnp.stack([batch_rows_fn(b) for b in group])
+            stacked, _ = chunk_prog(stacked, old_params,
+                                    old_bs if old_bs else None,
+                                    batches, idxs, same, other)
+            continue
+        for batch in group:
+            globals_ = {"same": same, "other": other,
+                        "index": batch_rows_fn(batch)}
+            stacked, _ = vstep(stacked, old_params,
+                               old_bs if old_bs else None,
+                               device_batch_fn(batch), globals_)
     return unstack_states(stacked, len(states))
 
 
@@ -141,8 +239,9 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
                               old_params_list, old_bs_list,
                               pub_loader, g_img, g_txt, batch_rows_fn,
                               do_inter: bool, do_intra: bool,
-                              device_batch_fn,
-                              sharding=None) -> List[EngineState]:
+                              device_batch_fn, sharding=None,
+                              scan_chunk: int = SCAN_CHUNK
+                              ) -> List[EngineState]:
     stacked = _place(stack_states(list(states)), sharding)
     old_params = _place(
         jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list),
@@ -158,12 +257,23 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
     vstep = jax.vmap(
         one, in_axes=(0, 0, 0 if old_bs else None, None,
                       {"img": None, "txt": None, "index": None}))
+    chunk_prog = _mm_chunk_prog(engine, do_inter, do_intra,
+                                bool(old_bs))
 
-    for batch in pub_loader:
-        globals_ = {"img": g_img, "txt": g_txt,
-                    "index": batch_rows_fn(batch)}
-        stacked, _ = vstep(stacked, old_params, old_bs if old_bs else None,
-                           device_batch_fn(batch), globals_)
+    for group in _chunks(pub_loader, max(1, scan_chunk)):
+        if len(group) == scan_chunk and scan_chunk > 1:
+            batches = _stack_chunk([device_batch_fn(b) for b in group])
+            idxs = jnp.stack([batch_rows_fn(b) for b in group])
+            stacked, _ = chunk_prog(stacked, old_params,
+                                    old_bs if old_bs else None,
+                                    batches, idxs, g_img, g_txt)
+            continue
+        for batch in group:
+            globals_ = {"img": g_img, "txt": g_txt,
+                        "index": batch_rows_fn(batch)}
+            stacked, _ = vstep(stacked, old_params,
+                               old_bs if old_bs else None,
+                               device_batch_fn(batch), globals_)
     return unstack_states(stacked, len(states))
 
 

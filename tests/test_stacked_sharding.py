@@ -143,3 +143,48 @@ def test_stacked_task_epoch_sharded(rng):
                         jax.tree.leaves(b.params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_scan_chunked_contrast_matches_unchunked(rng):
+    """scan_chunk>1 runs identical math: chunked epoch == per-batch
+    epoch over a 5-batch public stream (2 scanned chunks + remainder)."""
+    args = types.SimpleNamespace(img_model_local="resnet10",
+                                 feature_dim=8, mlp_local=False,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = UniClientEngine("txt", num_class=4, args=args, vocab_size=20)
+    base = {"captions": np.ones((4, 5), np.int32),
+            "lengths": np.full((4,), 5, np.int32),
+            "labels": np.zeros((4,), np.int32)}
+    states = [engine.init_state(jax.random.PRNGKey(i), base)
+              for i in range(3)]
+    old_params = [s.params for s in states]
+    old_bs = [s.batch_stats for s in states]
+
+    n_pub, d = 20, 8
+    same = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+    other = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+
+    def make_batches():
+        r = np.random.default_rng(5)
+        return [{"captions": r.integers(1, 20, (4, 5)).astype(np.int32),
+                 "lengths": np.full((4,), 5, np.int32),
+                 "index": np.arange(i * 4, i * 4 + 4, dtype=np.int64)}
+                for i in range(5)]
+
+    def rows_fn(batch):
+        return jnp.asarray(batch["index"], jnp.int32)
+
+    def dev(batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    out_seq = S.stacked_uni_contrast_epoch(
+        engine, states, old_params, old_bs, make_batches(), same, other,
+        rows_fn, True, True, dev, scan_chunk=1)
+    out_chunk = S.stacked_uni_contrast_epoch(
+        engine, states, old_params, old_bs, make_batches(), same, other,
+        rows_fn, True, True, dev, scan_chunk=2)
+    for a, b in zip(out_seq, out_chunk):
+        for x, y in zip(jax.tree.leaves(a.params),
+                        jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
