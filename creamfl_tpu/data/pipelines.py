@@ -47,7 +47,10 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                              client_image_size: Optional[int] = None,
                              prefetch: int = 0,
                              mm_client_data_size: Optional[int] = None,
-                             device_images: bool = False) -> Dict:
+                             device_images: bool = False,
+                             pub_batch_size: Optional[int] = None,
+                             pub_eval_batch_size: Optional[int] = None
+                             ) -> Dict:
     """Shape-faithful synthetic bundle (scaled-down by default).
 
     ``cache=True`` pre-renders the caption sets into contiguous host
@@ -61,6 +64,11 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
 
     vocab = vocab or Vocabulary.synthetic(100)
     bs = batch_size or min(args.batch_size, pub_size)
+    # Public loaders have their own batch sizes in the reference
+    # (coco.yaml dataloader.batch_size=128 train, x2 eval subset;
+    # load_datasets.py:59,82) independent of the clients' --batch_size.
+    pub_bs = min(pub_batch_size or bs, pub_size)
+    pub_ebs = min(pub_eval_batch_size or pub_bs, pub_size)
     client_image_size = client_image_size or image_size
 
     def _maybe_cache(ds):
@@ -98,10 +106,10 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": True,
-        "pub_train": _caption_loader(pub_ds, pub, batch_size=bs,
+        "pub_train": _caption_loader(pub_ds, pub, batch_size=pub_bs,
                                      shuffle=True, drop_last=True,
                                      seed=args.seed),
-        "pub_eval": _caption_loader(pub_ds, pub, batch_size=bs,
+        "pub_eval": _caption_loader(pub_ds, pub, batch_size=pub_ebs,
                                     shuffle=False, pad_last=True),
         "test": _caption_loader(test_ds, test,
                                 batch_size=min(bs, retrieval_test_size),
@@ -255,12 +263,16 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
                                bert_tokenizer=bert_tok)
 
     bs = args.batch_size
+    # Public loaders use the server config's batch size (coco.yaml
+    # dataloader.batch_size=128; eval subset x2 — load_datasets.py:59,82),
+    # independent of the clients' --batch_size.
+    pub_bs = 128
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": False,
-        "pub_train": _loader(pub_train, bs, shuffle=True,
+        "pub_train": _loader(pub_train, pub_bs, shuffle=True,
                                  drop_last=True, seed=args.seed),
-        "pub_eval": _loader(pub_eval, bs * 2, pad_last=True),
+        "pub_eval": _loader(pub_eval, pub_bs * 2, pad_last=True),
         "test": _loader(test_set, 8, pad_last=True),
         "img_num_class": 100,
         "txt_num_class": 4,

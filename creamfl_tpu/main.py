@@ -196,11 +196,13 @@ def build_datasets(args):
                      mm_client_data_size=2000, test_size=1024,
                      retrieval_test_size=25000, cache=True,
                      client_image_size=32, prefetch=2,
-                     device_images=True)
+                     device_images=True, pub_batch_size=128,
+                     pub_eval_batch_size=256)
     else:
         scale = dict(pub_size=min(args.pub_data_num, 2048),
                      image_size=224, max_len=32, client_data_size=512,
-                     test_size=256, retrieval_test_size=500)
+                     test_size=256, retrieval_test_size=500,
+                     pub_batch_size=128, pub_eval_batch_size=256)
     return pipelines.build_synthetic_datasets(args,
                                               bert_tokenizer=bert_tok,
                                               **scale)
