@@ -52,13 +52,14 @@ class ImageEncoder(nn.Module):
     embed_dim: int = 256
     mlp_local: bool = False
     dtype: Any = jnp.float32
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
         cnn_dim = resnet_feature_dim(self.cnn_type)
         grid = ResNetBackbone(self.cnn_type, dtype=self.dtype,
-                              name="cnn")(images, train)
+                              remat=self.remat, name="cnn")(images, train)
         b, h, w, c = grid.shape
         grid = grid.astype(jnp.float32)
         pooled = global_avg_pool(grid)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -95,18 +96,80 @@ def resnet_feature_dim(cnn_type: str) -> int:
     return RESNET_CONFIGS[cnn_type][2]
 
 
+#: jax.checkpoint policies selectable via ``ResNetBackbone.remat``.
+#: "block" reruns each residual block's forward during backward (stores
+#: only block inputs — minimum activation HBM traffic); "dots" keeps
+#: MXU results and recomputes the cheap elementwise/BN tail.
+REMAT_POLICIES = {
+    "block": None,
+    "dots": "checkpoint_dots_with_no_batch_dims",
+}
+
+
+class _StemKernel(nn.Module):
+    """Holds the canonical [7,7,3,64] stem kernel at param path
+    ``conv1/kernel`` (checkpoint/convert-compatible with nn.Conv)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+def _s2d_stem(x: jnp.ndarray, kernel: jnp.ndarray,
+              dtype: Any) -> jnp.ndarray:
+    """Space-to-depth stem: math-identical to conv 7x7/s2/p3 on [B,H,W,3]
+    but MXU-efficient. A 3-input-channel conv wastes ~97% of the MXU's
+    input lanes; regrouping 2x2 pixel cells into 12 channels and running
+    the equivalent 4x4/s1 VALID conv on the [B,(H+6)/2,(W+6)/2,12] grid
+    recovers ~4x on the stem (the standard MLPerf-ResNet TPU trick).
+    The [7,7,3,64] kernel stays canonical (checkpoints untouched); it is
+    zero-padded to 8x8 and regrouped on device each step (37k elements —
+    free), so gradients flow exactly as for the 7x7 conv.
+    """
+    b, h, w, c = x.shape
+    assert c == 3 and h % 2 == 0 and w % 2 == 0, (h, w, c)
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hc, wc = (h + 6) // 2, (w + 6) // 2
+    x = x.reshape(b, hc, 2, wc, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, hc, wc, 12)
+    w8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w4 = w8.reshape(4, 2, 4, 2, 3, -1).transpose(0, 2, 1, 3, 4, 5)
+    w4 = w4.reshape(4, 4, 12, -1)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w4.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNetBackbone(nn.Module):
     """Stride-32 conv trunk: [B, H, W, 3] -> [B, H/32, W/32, C]."""
 
     cnn_type: str = "resnet18"
     dtype: Any = jnp.float32
+    remat: str = "none"
+    # "conv7" (default) or "s2d". Both were timed on the chip (BENCH.md
+    # round-2 probes): identical step time — XLA:TPU already legalizes
+    # the 3-channel stem conv, so the s2d regrouping buys nothing here.
+    # Kept selectable (and parity-tested) for other hardware/XLA versions.
+    stem: str = "conv7"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         block_cls, stage_sizes, _ = RESNET_CONFIGS[self.cnn_type]
+        if self.remat != "none":
+            policy_name = REMAT_POLICIES[self.remat]
+            policy = (getattr(jax.checkpoint_policies, policy_name)
+                      if policy_name else None)
+            block_cls = nn.remat(block_cls, policy=policy,
+                                 static_argnums=(2,))
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        if (self.stem == "s2d" and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0):
+            kernel = _StemKernel(name="conv1")()
+            x = _s2d_stem(x, kernel, self.dtype)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)

@@ -27,6 +27,24 @@ def test_resnet_backbone_grid_shape(key):
     assert grid.shape == (2, 2, 2, 512)
 
 
+def test_s2d_stem_matches_conv7(key):
+    """The space-to-depth stem is math-identical to conv 7x7/s2/p3 for
+    the SAME canonical [7,7,3,64] kernel (resnet.py:_s2d_stem)."""
+    model_fast = ResNetBackbone("resnet10", stem="s2d")
+    model_ref = ResNetBackbone("resnet10", stem="conv7")
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    variables = model_ref.init(key, x, False)
+    # Same param tree works for both stems (path conv1/kernel, [7,7,3,64]).
+    g_ref = model_ref.apply(variables, x, False)
+    g_fast = model_fast.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-5)
+    # Odd spatial sizes fall back to the plain conv stem.
+    x_odd = jax.random.normal(key, (2, 33, 33, 3))
+    v_odd = model_fast.init(key, x_odd, False)
+    assert v_odd["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+
 def test_resnet_bottleneck_dim(key):
     model = ResNetBackbone("resnet50")
     x = jnp.zeros((1, 64, 64, 3))

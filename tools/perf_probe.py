@@ -139,6 +139,62 @@ def main():
             step, img_p,
             lambda p: jnp.sum(p["fc"]["bias"]), iters=args.iters))
 
+    if "stem" in parts:
+        import flax.linen as nn
+
+        class Stem(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=True):
+                x = x.astype(jnp.bfloat16)
+                x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                            use_bias=False, dtype=jnp.bfloat16,
+                            name="conv1")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=jnp.bfloat16, name="bn1")(x)
+                x = nn.relu(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        stem = Stem()
+        variables = jax.jit(stem.init)(jax.random.PRNGKey(0), images)
+        sp, sbs = variables["params"], variables["batch_stats"]
+
+        def stem_loss(p):
+            out = stem.apply({"params": p, "batch_stats": sbs}, images,
+                             True, mutable=["batch_stats"])[0]
+            return jnp.sum(jnp.square(out.astype(jnp.float32)))
+
+        def step(p):
+            g = jax.grad(stem_loss)(p)
+            return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+        report("stem", _time_scan(
+            step, sp, lambda p: jnp.sum(p["conv1"]["kernel"]),
+            iters=args.iters))
+
+    if "resnet_remat" in parts:
+        from creamfl_tpu.models.pcme import ImageEncoder
+
+        for mode in ("block", "dots"):
+            enc = ImageEncoder(cnn_type="resnet101", embed_dim=256,
+                               dtype=jnp.bfloat16, remat=mode)
+            variables = jax.jit(enc.init)(jax.random.PRNGKey(0), images)
+            img_p = variables["params"]
+            img_bs = variables.get("batch_stats", {})
+
+            def img_loss(p, enc=enc, img_bs=img_bs):
+                out = enc.apply({"params": p, "batch_stats": img_bs},
+                                images, True,
+                                mutable=["batch_stats"])[0]
+                return jnp.sum(jnp.square(out["embedding"]))
+
+            def step(p, img_loss=img_loss):
+                g = jax.grad(img_loss)(p)
+                return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+            report(f"resnet_remat_{mode}", _time_scan(
+                step, img_p,
+                lambda p: jnp.sum(p["fc"]["bias"]), iters=args.iters))
+
     if "bert" in parts:
         from creamfl_tpu.models.bert import BertConfig
         from creamfl_tpu.models.pcme import TextEncoderBert
