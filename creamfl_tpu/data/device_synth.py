@@ -23,8 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from creamfl_tpu.utils.helper import fast_prng_key
-
 
 class DeviceImageSynth:
     """Jitted ``(image_ids, concepts) -> [B, s, s, 3]`` generator."""
@@ -40,7 +38,12 @@ class DeviceImageSynth:
                       np.zeros_like(xx)], axis=-1)
             for c in range(n_concepts)]).astype(np.float32)
         patterns = jnp.asarray(pats)  # [C, s, s, 3]
-        base = fast_prng_key(seed)
+        # Threefry, NOT fast_prng_key/rbg: XLA's RngBitGenerator does
+        # not vectorize under vmap (measured 35.5 ms vs 3.2 ms per
+        # bs128x224^2 batch on the chip, BENCH.md round-2 probes) —
+        # threefry is pure counter-based vector math and batches
+        # perfectly across the per-image fold_in.
+        base = jax.random.PRNGKey(seed)
 
         @jax.jit
         def gen(image_ids: jnp.ndarray, concepts: jnp.ndarray):

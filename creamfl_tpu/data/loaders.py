@@ -188,3 +188,33 @@ class PrefetchLoader:
         t.join()
         if err:
             raise err[0]
+
+
+class ProjectedLoader:
+    """Restrict a batch loader to the fields a consumer actually reads.
+
+    Every host->device transfer costs ~2 ms of dispatch latency on a
+    remote device regardless of size, and device-synthesized images
+    (data/device_synth.py) cost real compute — so a text-client sweep
+    that only reads ``captions``/``lengths`` should neither transfer nor
+    synthesize the rest. When ``images`` is not requested and the loader
+    is a ``DeviceImageBatches`` wrapper, iteration short-circuits to its
+    caption-only ``base`` loader and image synthesis is skipped entirely.
+    """
+
+    def __init__(self, loader, fields):
+        self.loader = loader
+        self.fields = tuple(fields)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        from creamfl_tpu.data.device_synth import DeviceImageBatches
+
+        src = self.loader
+        if isinstance(src, DeviceImageBatches) and (
+                "images" not in self.fields):
+            src = src.base  # skip device image synthesis
+        for batch in src:
+            yield {k: v for k, v in batch.items() if k in self.fields}

@@ -313,15 +313,46 @@ class MMFL:
         self.global_img_feature = jnp.concatenate(img_parts)[:n_valid]
         self.global_txt_feature = jnp.concatenate(txt_parts)[:n_valid]
         self.distill_index = np.concatenate(index_parts).astype(np.int64)
-        self._distill_pos = {int(v): i
-                             for i, v in enumerate(self.distill_index)}
+        # Dense index->row lookup table (the public-set dataset indices
+        # are bounded ints; reference keeps a dict, MMFL.py:343).
+        table = np.full(int(self.distill_index.max()) + 1, -1, np.int32)
+        table[self.distill_index] = np.arange(len(self.distill_index),
+                                              dtype=np.int32)
+        self._distill_pos = table
 
-    def _batch_rows(self, batch) -> jnp.ndarray:
+    def _batch_rows(self, batch) -> np.ndarray:
         """Map dataset indices of a public batch to rows of the global
-        feature matrices (reference distill_dict, MMFL.py:343)."""
-        return jnp.asarray([self._distill_pos[int(i)]
-                            for i in np.asarray(batch["index"])],
-                           jnp.int32)
+        feature matrices (reference distill_dict, MMFL.py:343). Stays a
+        HOST array: callers either feed it to jit (one transfer) or
+        np.stack it per chunk — returning a device array here would
+        cost a fetch round-trip per batch."""
+        rows = self._distill_pos[np.asarray(batch["index"])]
+        assert (rows >= 0).all(), "public batch index outside distill set"
+        return rows
+
+    # Public-set fields each client family actually reads. Projecting
+    # the loaders to these (data/loaders.py:ProjectedLoader) means txt
+    # sweeps never synthesize/transfer 224^2 image tensors and no
+    # client sweep ships the server-only BERT fields — at paper scale
+    # the unprojected txt sweeps were ~95% loader overhead (BENCH.md).
+    _PUB_FIELDS = {
+        "img": ("images", "index", "valid"),
+        "txt": ("captions", "lengths", "index", "valid"),
+        "mm": ("images", "captions", "lengths", "index", "valid"),
+    }
+
+    def _pub(self, split: str, kind: str):
+        """Projected view of datasets[split] for one client family."""
+        from creamfl_tpu.data.loaders import ProjectedLoader
+
+        cache = getattr(self, "_pub_views", None)
+        if cache is None:
+            cache = self._pub_views = {}
+        key_ = (split, kind)
+        if key_ not in cache:
+            cache[key_] = ProjectedLoader(self.datasets[split],
+                                          self._PUB_FIELDS[kind])
+        return cache[key_]
 
     # -- client execution ---------------------------------------------
     def _run_uni_client(self, client: ClientHandle, round_n: int):
@@ -341,7 +372,7 @@ class MMFL:
                 client.state, metrics = engine.task_step(
                     client.state, _device_batch(batch))
             if do_inter or do_intra:
-                for batch in self.datasets["pub_train"]:
+                for batch in self._pub("pub_train", client.kind):
                     globals_ = {"same": same, "other": other,
                                 "index": self._batch_rows(batch)}
                     client.state, _ = engine.contrast_step(
@@ -363,7 +394,7 @@ class MMFL:
 
     def _uni_client_reps(self, client: ClientHandle):
         parts, idx_parts = [], []
-        for batch in self.datasets["pub_eval"]:
+        for batch in self._pub("pub_eval", client.kind):
             feats = client.engine.features_step(client.state,
                                                 _device_batch(batch))
             valid = np.asarray(batch["valid"])
@@ -391,7 +422,7 @@ class MMFL:
                 client.state, _ = engine.local_step(
                     client.state, _device_batch(batch), sub)
             if do_inter or do_intra:
-                for batch in self.datasets["pub_train"]:
+                for batch in self._pub("pub_train", "mm"):
                     globals_ = {"img": self.global_img_feature,
                                 "txt": self.global_txt_feature,
                                 "index": self._batch_rows(batch)}
@@ -402,7 +433,7 @@ class MMFL:
 
     def _mm_client_reps(self, client: ClientHandle):
         img_parts, txt_parts = [], []
-        for batch in self.datasets["pub_eval"]:
+        for batch in self._pub("pub_eval", "mm"):
             fi, ft = client.engine.features_step(client.state,
                                                  _device_batch(batch))
             valid = np.asarray(batch["valid"])
@@ -424,8 +455,12 @@ class MMFL:
         engine = members[0].engine
         do_inter = args.contrast_local_inter
         do_intra = args.contrast_local_intra
-        old_params = [c.state.params for c in members]
-        old_bs = [c.state.batch_stats for c in members]
+        # MOON old params are round-constant: stack ONCE here (one jitted
+        # dispatch) instead of per contrast epoch.
+        old_params = S._stack_trees([c.state.params for c in members])
+        old_bs = ([c.state.batch_stats for c in members]
+                  if members[0].state.batch_stats else {})
+        old_bs = S._stack_trees(old_bs) if old_bs else {}
         sharding = self._group_sharding(len(members))
         for c in members:
             c.state = engine.set_round_lr(c.state, round_n)
@@ -444,13 +479,19 @@ class MMFL:
                 c.state = s
             if do_inter or do_intra:
                 states = [c.state for c in members]
+                # Caption-only families amortize per-chunk dispatch
+                # overhead over longer scans (their batches are KB-scale;
+                # image chunks stay at the default to bound HBM).
+                chunk = (S.SCAN_CHUNK * 4 if kind == "txt"
+                         else S.SCAN_CHUNK)
                 if kind == "mm":
                     states = S.stacked_mm_contrast_epoch(
                         engine, states, old_params, old_bs,
-                        self.datasets["pub_train"],
+                        self._pub("pub_train", "mm"),
                         self.global_img_feature, self.global_txt_feature,
                         self._batch_rows, do_inter, do_intra,
-                        _device_batch, sharding=sharding)
+                        _device_batch, sharding=sharding,
+                        scan_chunk=chunk)
                 else:
                     same = (self.global_img_feature if kind == "img"
                             else self.global_txt_feature)
@@ -458,9 +499,10 @@ class MMFL:
                              else self.global_img_feature)
                     states = S.stacked_uni_contrast_epoch(
                         engine, states, old_params, old_bs,
-                        self.datasets["pub_train"], same, other,
+                        self._pub("pub_train", kind), same, other,
                         self._batch_rows, do_inter, do_intra,
-                        _device_batch, sharding=sharding)
+                        _device_batch, sharding=sharding,
+                        scan_chunk=chunk)
                 for c, s in zip(members, states):
                     c.state = s
 
@@ -468,14 +510,14 @@ class MMFL:
         states = [c.state for c in members]
         if kind == "mm":
             img_r, txt_r = S.stacked_mm_reps(engine, states,
-                                             self.datasets["pub_eval"],
+                                             self._pub("pub_eval", "mm"),
                                              _device_batch,
                                              sharding=sharding)
             img_vecs.extend(img_r)
             txt_vecs.extend(txt_r)
         else:
             reps, order = S.stacked_uni_reps(engine, states,
-                                             self.datasets["pub_eval"],
+                                             self._pub("pub_eval", kind),
                                              _device_batch,
                                              sharding=sharding)
             assert np.array_equal(order, self.distill_index)

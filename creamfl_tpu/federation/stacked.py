@@ -30,8 +30,19 @@ import numpy as np
 from jax import lax
 
 from creamfl_tpu.engine.state import EngineState
-from creamfl_tpu.parallel.client_parallel import (stack_states,
+from creamfl_tpu.parallel.client_parallel import (_stack_prog,
+                                                  stack_states,
                                                   unstack_states)
+
+
+def _stack_trees(trees):
+    """Stack a list of same-structure pytrees on a new leading axis as
+    ONE jitted dispatch (see client_parallel._stack_prog), or pass an
+    already-stacked tree through (round-constant trees — MOON old
+    params — are stacked once per round by the caller)."""
+    if isinstance(trees, (list, tuple)):
+        return _stack_prog(tuple(trees))
+    return trees
 
 # Batches chained per device dispatch in the contrast epochs. Each
 # dispatch of a vmapped client step pays host-side pytree flattening +
@@ -54,17 +65,24 @@ def _chunks(iterable, k):
 
 
 def _stack_chunk(batches: List[Dict]) -> Dict:
-    """[k] list of same-shape batch dicts -> dict of [k, ...] arrays.
-    Host fields stack on host (one transfer per chunk); device fields
-    (device-synthesized images) stack on device."""
+    """[k] list of RAW batch dicts -> dict of [k, ...] arrays.
+
+    Host fields stack on host and cross to the device as ONE transfer
+    per field per chunk (a per-batch ``jnp.asarray`` costs ~2 ms of
+    dispatch each through the remote-TPU tunnel — 24 of them per chunk
+    dominated the text-client sweeps, BENCH.md round-2 probes); device
+    fields (device-synthesized images) stack on device. Non-array
+    fields (raw caption strings etc.) are dropped, mirroring
+    ``rounds._device_batch``."""
     first = batches[0]
     out = {}
     for key in first:
         vals = [b[key] for b in batches]
         if isinstance(first[key], jax.Array):
             out[key] = jnp.stack(vals)
-        else:
-            out[key] = np.stack([np.asarray(v) for v in vals])
+        elif (isinstance(first[key], np.ndarray)
+              and first[key].dtype != object):
+            out[key] = np.stack(vals)
     return out
 
 
@@ -143,8 +161,10 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     the family max, its slot replays its last batch with ``active=False``
     so the vmapped program keeps a static shape while the select freezes
     its state. ``next_keys(C)`` supplies per-step dropout keys for mm
-    clients.
+    clients. ``device_batch_fn`` is kept for API compatibility; batches
+    now stack host-side and cross as one transfer per field per step.
     """
+    del device_batch_fn
     stacked = _place(stack_states(list(states)), sharding)
     iters = [iter(loader) for loader in loaders]
 
@@ -171,15 +191,18 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
                 batches.append(last[i])
             else:
                 active.append(True)
-                last[i] = device_batch_fn(b)
-                batches.append(last[i])
+                last[i] = b
+                batches.append(b)
         if not any(active):
             break
         if any(b is None for b in batches):  # client with an empty loader
             filler = next(b for b in batches if b is not None)
             batches = [filler if b is None else b for b in batches]
-        stacked_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-        amask = jnp.asarray(active)
+        # Host fields stack on host -> ONE transfer per field per step
+        # (per-client jnp.asarray costs ~2 ms dispatch each on a remote
+        # device); device fields stack on device.
+        stacked_batch = _stack_chunk(batches)
+        amask = np.asarray(active)
         if mm:
             stacked = vstep(stacked, stacked_batch, amask,
                             next_keys(len(iters)))
@@ -199,11 +222,9 @@ def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
     Full chunks of ``scan_chunk`` batches run as one scanned dispatch;
     the trailing partial chunk runs per-batch (identical math)."""
     stacked = _place(stack_states(list(states)), sharding)
-    old_params = _place(
-        jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list),
-        sharding)
-    old_bs = (jax.tree.map(lambda *xs: jnp.stack(xs), *old_bs_list)
-              if old_bs_list and old_bs_list[0] else {})
+    old_params = _place(_stack_trees(old_params_list), sharding)
+    has_old_bs = (bool(old_bs_list) and (not isinstance(old_bs_list, (list, tuple)) or bool(old_bs_list[0])))
+    old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
     old_bs = _place(old_bs, sharding) if old_bs else old_bs
 
     def one(state, old_p, old_b, batch, globals_):
@@ -220,8 +241,8 @@ def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
 
     for group in _chunks(pub_loader, max(1, scan_chunk)):
         if len(group) == scan_chunk and scan_chunk > 1:
-            batches = _stack_chunk([device_batch_fn(b) for b in group])
-            idxs = jnp.stack([batch_rows_fn(b) for b in group])
+            batches = _stack_chunk(group)
+            idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
             stacked, _ = chunk_prog(stacked, old_params,
                                     old_bs if old_bs else None,
                                     batches, idxs, same, other)
@@ -243,11 +264,9 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
                               scan_chunk: int = SCAN_CHUNK
                               ) -> List[EngineState]:
     stacked = _place(stack_states(list(states)), sharding)
-    old_params = _place(
-        jax.tree.map(lambda *xs: jnp.stack(xs), *old_params_list),
-        sharding)
-    old_bs = (jax.tree.map(lambda *xs: jnp.stack(xs), *old_bs_list)
-              if old_bs_list and old_bs_list[0] else {})
+    old_params = _place(_stack_trees(old_params_list), sharding)
+    has_old_bs = (bool(old_bs_list) and (not isinstance(old_bs_list, (list, tuple)) or bool(old_bs_list[0])))
+    old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
     old_bs = _place(old_bs, sharding) if old_bs else old_bs
 
     def one(state, old_p, old_b, batch, globals_):
@@ -262,8 +281,8 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
 
     for group in _chunks(pub_loader, max(1, scan_chunk)):
         if len(group) == scan_chunk and scan_chunk > 1:
-            batches = _stack_chunk([device_batch_fn(b) for b in group])
-            idxs = jnp.stack([batch_rows_fn(b) for b in group])
+            batches = _stack_chunk(group)
+            idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
             stacked, _ = chunk_prog(stacked, old_params,
                                     old_bs if old_bs else None,
                                     batches, idxs, g_img, g_txt)

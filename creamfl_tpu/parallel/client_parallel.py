@@ -10,6 +10,7 @@ local epochs (client steps are data-independent).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, List, Sequence
 
 import jax
@@ -18,13 +19,34 @@ import jax.numpy as jnp
 from creamfl_tpu.engine.state import EngineState
 
 
-def stack_states(states: Sequence[EngineState]) -> EngineState:
-    """List of per-client EngineStates -> one stacked EngineState."""
+# Both directions run as ONE jitted program: an eager tree.map over the
+# ~100 leaves of (params, opt_state, batch_stats) costs one device
+# dispatch per leaf — ~7 ms each through a remote-TPU tunnel, >2 s per
+# stack/unstack pair at paper scale (BENCH.md round-2 probes). jit
+# collapses that to a single dispatch; programs cache per (C, treedef).
+
+
+@jax.jit
+def _stack_prog(states):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def stack_states(states: Sequence[EngineState]) -> EngineState:
+    """List of per-client EngineStates -> one stacked EngineState."""
+    return _stack_prog(tuple(states))
+
+
+@functools.lru_cache(maxsize=None)
+def _unstack_prog(n: int):
+    @jax.jit
+    def prog(s):
+        return tuple(jax.tree.map(lambda x: x[i], s) for i in range(n))
+
+    return prog
+
+
 def unstack_states(stacked: EngineState, n: int) -> List[EngineState]:
-    return [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
+    return list(_unstack_prog(n)(stacked))
 
 
 def vmap_client_step(step_fn: Callable, in_axes=(0, 0),
