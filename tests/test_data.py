@@ -144,3 +144,58 @@ def test_cached_dataset_and_prefetch_match_plain():
                                           np.asarray(b[k]), err_msg=k)
     # Attribute passthrough (vocab etc.).
     assert CachedDataset(ds).vocab is ds.vocab
+
+
+def test_projected_loader_skips_images_and_filters_fields():
+    """ProjectedLoader restricts fields; with a DeviceImageBatches source
+    and no 'images' requested it short-circuits to the caption-only base
+    loader (no synthesis). Requested image batches match the wrapped
+    loader's."""
+    from creamfl_tpu.data.device_synth import (DeviceImageBatches,
+                                               DeviceImageSynth)
+    from creamfl_tpu.data.loaders import ArrayLoader, ProjectedLoader
+    from creamfl_tpu.data.synthetic import SyntheticCaptionDataset
+
+    ds = SyntheticCaptionDataset(n_captions=12, image_size=16,
+                                 max_len=8, with_images=False)
+    base = ArrayLoader(ds, batch_size=4, shuffle=False, pad_last=True)
+    synth = DeviceImageSynth(16, seed=ds.seed, n_concepts=ds.n_concepts,
+                             signal=ds.signal)
+    loader = DeviceImageBatches(base, synth, ds._concept)
+
+    calls = []
+    orig = loader.synth
+
+    class Counting:
+        def __call__(self, iids, concepts):
+            calls.append(len(iids))
+            return orig(iids, concepts)
+
+    loader.synth = Counting()
+
+    txt_view = ProjectedLoader(loader, ("captions", "lengths", "index"))
+    batches = list(txt_view)
+    assert calls == [], "text view must not synthesize images"
+    assert set(batches[0]) == {"captions", "lengths", "index"}
+    assert len(batches) == len(txt_view) == len(loader)
+
+    img_view = ProjectedLoader(loader, ("images", "index", "valid"))
+    b = next(iter(img_view))
+    assert calls, "image view synthesizes"
+    assert set(b) == {"images", "index", "valid"}
+    assert b["images"].shape[1:] == (16, 16, 3)
+
+
+def test_device_synth_deterministic_per_image_id():
+    """Same image_id -> bitwise-identical tensor across batches/epochs
+    (global-feature rows must align with distill targets)."""
+    import numpy as np
+
+    from creamfl_tpu.data.device_synth import DeviceImageSynth
+
+    synth = DeviceImageSynth(8, seed=3, n_concepts=4)
+    a = np.asarray(synth(np.array([5, 9]), np.array([1, 2])))
+    b = np.asarray(synth(np.array([9, 5, 7]), np.array([2, 1, 3])))
+    np.testing.assert_array_equal(a[0], b[1])
+    np.testing.assert_array_equal(a[1], b[0])
+    assert not np.array_equal(a[0], a[1])
