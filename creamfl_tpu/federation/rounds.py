@@ -379,14 +379,17 @@ class MMFL:
                         client.state, old_params, old_bs,
                         _device_batch(batch), globals_,
                         do_inter, do_intra)
-        # local test (top-1/top-k)
+        # local test (top-1/top-k); counters accumulate on device, one
+        # fetch per client (per-batch float() costs a round-trip each).
         test_loader = self.datasets.get(f"{client.kind}_test")
         if test_loader is not None:
             c1 = ck = n = 0.0
             for batch in test_loader:
                 a, b, m = engine.test_step(client.state,
                                            _device_batch(batch))
-                c1 += float(a); ck += float(b); n += float(m)
+                c1 = c1 + a; ck = ck + b; n = n + m
+            n = float(n)
+            c1 = float(c1); ck = float(ck)
             if n:
                 self.logger.log(
                     f"client {client.client_idx} ({client.kind}) "
@@ -532,7 +535,9 @@ class MMFL:
                     for batch in test_loader:
                         a, b, m = engine.test_step(c.state,
                                                    _device_batch(batch))
-                        c1 += float(a); ck += float(b); n += float(m)
+                        c1 = c1 + a; ck = ck + b; n = n + m
+                    n = float(n)
+                    c1 = float(c1); ck = float(ck)
                     if n:
                         self.logger.log(
                             f"client {c.client_idx} ({kind}) "
