@@ -17,6 +17,16 @@ their own streams and exhausted clients are masked out — a
 ``jnp.where`` select keeps their state frozen, which is exactly what
 the sequential loop computes (client states are independent).
 ``--no_client_parallel`` remains the sequential parity oracle.
+
+Client-axis lowering (``_client_map``): with a multi-device ``client``
+mesh axis the per-client map is a ``jax.vmap`` — one batched program
+XLA partitions across devices. On a single device the same map lowers
+better as a ``lax.scan`` over the client axis: vmapping per-client conv
+*weights* turns every conv into a batch-grouped conv that tiles worse
+on the MXU (measured ~25% slower on the img family at paper shapes,
+BENCH.md), while scan keeps each client's step a plain dense-conv
+program. Both run inside one dispatch; the choice is purely a lowering
+decision driven by ``sharding is None``.
 """
 
 from __future__ import annotations
@@ -86,18 +96,55 @@ def _stack_chunk(batches: List[Dict]) -> Dict:
     return out
 
 
+def _client_map(fn, in_axes, lowering: str):
+    """Map ``fn`` over the stacked [C, ...] client axis.
+
+    ``"vmap"``: one batched program (required for XLA to partition the
+    client axis over a multi-device mesh). ``"scan"``: ``lax.scan``
+    over clients — still one dispatch, but each iteration is a plain
+    per-client program, avoiding the batch-grouped conv lowering that
+    costs ~25% on a single chip (module docstring). Arguments whose
+    ``in_axes`` entry is 0 are scanned over; everything else is closed
+    over (broadcast), matching vmap's ``None`` axes. Outputs stack on a
+    leading client axis either way.
+    """
+    if lowering == "vmap":
+        return jax.vmap(fn, in_axes=in_axes)
+    assert lowering == "scan", lowering
+
+    def mapped(*args):
+        assert len(args) == len(in_axes)
+        xs = tuple(a for a, ax in zip(args, in_axes) if ax == 0)
+
+        def body(_, slices):
+            it = iter(slices)
+            full = [next(it) if ax == 0 else a
+                    for a, ax in zip(args, in_axes)]
+            return None, fn(*full)
+
+        _, ys = lax.scan(body, None, xs)
+        return ys
+
+    return mapped
+
+
+def _lowering_for(sharding) -> str:
+    return "scan" if sharding is None else "vmap"
+
+
 @functools.lru_cache(maxsize=None)
 def _uni_chunk_prog(engine, do_inter: bool, do_intra: bool,
-                    has_old_bs: bool):
+                    has_old_bs: bool, lowering: str = "scan"):
     def run(stacked, old_params, old_bs, batches, idxs, same, other):
         def one(state, old_p, old_b, batch, globals_):
             return engine.contrast_step(state, old_p, old_b, batch,
                                         globals_, do_inter, do_intra)
 
-        vstep = jax.vmap(one, in_axes=(0, 0, 0 if has_old_bs else None,
-                                       None, {"same": None,
-                                              "other": None,
-                                              "index": None}))
+        vstep = _client_map(one,
+                            (0, 0, 0 if has_old_bs else None,
+                             None, {"same": None,
+                                    "other": None,
+                                    "index": None}), lowering)
 
         def body(st, inp):
             batch, idx = inp
@@ -113,15 +160,16 @@ def _uni_chunk_prog(engine, do_inter: bool, do_intra: bool,
 
 @functools.lru_cache(maxsize=None)
 def _mm_chunk_prog(engine, do_inter: bool, do_intra: bool,
-                   has_old_bs: bool):
+                   has_old_bs: bool, lowering: str = "scan"):
     def run(stacked, old_params, old_bs, batches, idxs, g_img, g_txt):
         def one(state, old_p, old_b, batch, globals_):
             return engine.contrast_step(state, old_p, old_b, batch,
                                         globals_, do_inter, do_intra)
 
-        vstep = jax.vmap(one, in_axes=(0, 0, 0 if has_old_bs else None,
-                                       None, {"img": None, "txt": None,
-                                              "index": None}))
+        vstep = _client_map(one,
+                            (0, 0, 0 if has_old_bs else None,
+                             None, {"img": None, "txt": None,
+                                    "index": None}), lowering)
 
         def body(st, inp):
             batch, idx = inp
@@ -167,19 +215,20 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     del device_batch_fn
     stacked = _place(stack_states(list(states)), sharding)
     iters = [iter(loader) for loader in loaders]
+    lowering = _lowering_for(sharding)
 
     if mm:
         def one(state, batch, active, key):
             new_state, _ = engine.local_step(state, batch, key)
             return _select_state(active, new_state, state)
 
-        vstep = jax.vmap(one, in_axes=(0, 0, 0, 0))
+        vstep = jax.jit(_client_map(one, (0, 0, 0, 0), lowering))
     else:
         def one(state, batch, active):
             new_state, _ = engine.task_step(state, batch)
             return _select_state(active, new_state, state)
 
-        vstep = jax.vmap(one, in_axes=(0, 0, 0))
+        vstep = jax.jit(_client_map(one, (0, 0, 0), lowering))
 
     last = [None] * len(iters)
     while True:
@@ -227,17 +276,19 @@ def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
     old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
     old_bs = _place(old_bs, sharding) if old_bs else old_bs
 
+    lowering = _lowering_for(sharding)
+
     def one(state, old_p, old_b, batch, globals_):
         new_state, loss = engine.contrast_step(state, old_p, old_b, batch,
                                                globals_, do_inter,
                                                do_intra)
         return new_state, loss
 
-    vstep = jax.vmap(
-        one, in_axes=(0, 0, 0 if old_bs else None, None,
-                      {"same": None, "other": None, "index": None}))
+    vstep = jax.jit(_client_map(
+        one, (0, 0, 0 if old_bs else None, None,
+              {"same": None, "other": None, "index": None}), lowering))
     chunk_prog = _uni_chunk_prog(engine, do_inter, do_intra,
-                                 bool(old_bs))
+                                 bool(old_bs), lowering)
 
     for group in _chunks(pub_loader, max(1, scan_chunk)):
         if len(group) == scan_chunk and scan_chunk > 1:
@@ -269,15 +320,17 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
     old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
     old_bs = _place(old_bs, sharding) if old_bs else old_bs
 
+    lowering = _lowering_for(sharding)
+
     def one(state, old_p, old_b, batch, globals_):
         return engine.contrast_step(state, old_p, old_b, batch, globals_,
                                     do_inter, do_intra)
 
-    vstep = jax.vmap(
-        one, in_axes=(0, 0, 0 if old_bs else None, None,
-                      {"img": None, "txt": None, "index": None}))
+    vstep = jax.jit(_client_map(
+        one, (0, 0, 0 if old_bs else None, None,
+              {"img": None, "txt": None, "index": None}), lowering))
     chunk_prog = _mm_chunk_prog(engine, do_inter, do_intra,
-                                bool(old_bs))
+                                bool(old_bs), lowering)
 
     for group in _chunks(pub_loader, max(1, scan_chunk)):
         if len(group) == scan_chunk and scan_chunk > 1:
@@ -310,7 +363,8 @@ def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
     on device; per-batch host fetches would cost a transfer round-trip
     each) + [N] dataset indices."""
     stacked = _place(stack_states(list(states)), sharding)
-    vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
+    vfeat = jax.jit(_client_map(engine.features_step, (0, None),
+                                _lowering_for(sharding)))
     parts, idx_parts = [], []
     n_valid = 0
     for batch in pub_loader:
@@ -326,7 +380,8 @@ def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
 def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
                     device_batch_fn, sharding=None):
     stacked = _place(stack_states(list(states)), sharding)
-    vfeat = jax.vmap(engine.features_step, in_axes=(0, None))
+    vfeat = jax.jit(_client_map(engine.features_step, (0, None),
+                                _lowering_for(sharding)))
     img_parts, txt_parts = [], []
     n_valid = 0
     for batch in pub_loader:
