@@ -29,14 +29,11 @@ class DeviceImageSynth:
 
     def __init__(self, image_size: int, seed: int = 0,
                  n_concepts: int = 10, signal: float = 0.8):
+        from creamfl_tpu.data.synthetic import concept_pattern
+
         s = image_size
-        lin = np.linspace(0, 2 * np.pi, s)
-        yy, xx = np.meshgrid(lin, lin, indexing="ij")
-        pats = np.stack([
-            np.stack([signal * np.sin((c + 1) * xx),
-                      signal * np.cos((c + 1) * yy),
-                      np.zeros_like(xx)], axis=-1)
-            for c in range(n_concepts)]).astype(np.float32)
+        pats = np.stack([concept_pattern(s, c, signal)
+                         for c in range(n_concepts)])
         patterns = jnp.asarray(pats)  # [C, s, s, 3]
         # Threefry, NOT fast_prng_key/rbg: XLA's RngBitGenerator does
         # not vectorize under vmap (measured 35.5 ms vs 3.2 ms per

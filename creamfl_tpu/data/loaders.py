@@ -37,6 +37,15 @@ def collate_captions(token_lists: Sequence[Sequence[int]],
     return {"captions": out, "lengths": lengths}
 
 
+def suffix_valid(valid: np.ndarray) -> int:
+    """Count valid rows in a batch's ``valid`` mask, asserting the
+    ArrayLoader pad contract: pads (``pad_last``) are always a suffix,
+    so consumers may slice ``[:n_valid]`` after concatenation."""
+    assert valid.all() or not valid[valid.argmin():].any(), \
+        "pad must be a suffix"
+    return int(valid.sum())
+
+
 class ArrayLoader:
     """Epoch iterator: dataset[index] -> sample dict; batches stacked.
 
@@ -167,25 +176,50 @@ class PrefetchLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
         err: List[BaseException] = []
+
+        def safe_put(item) -> bool:
+            """Blocking put that gives up once ``stop`` is set (the
+            consumer abandoned the iterator and won't drain the queue)."""
+            while True:
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False
 
         def fill():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not safe_put(batch) or stop.is_set():
+                        return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                safe_put(sentinel)
 
         t = threading.Thread(target=fill, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # A consumer that stops early (next(iter(...)), a sliced
+            # epoch) raises GeneratorExit here; without the stop signal
+            # the fill thread would block on q.put forever and leak a
+            # thread + `depth` buffered batches per abandoned iterator.
+            stop.set()
+            while True:  # drain so the final q.put(sentinel) can't block
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if err:
             raise err[0]
 

@@ -20,6 +20,20 @@ import numpy as np
 from creamfl_tpu.data.vocab import Vocabulary
 
 
+def concept_pattern(image_size: int, concept: int,
+                    signal: float) -> np.ndarray:
+    """[s, s, 3] class-dependent low-frequency pattern (sin on R, cos on
+    G, zero B) — THE definition of the synthetic concept signal, shared
+    by the host path (``SyntheticCaptionDataset._image``) and the
+    on-accelerator path (``device_synth.DeviceImageSynth``) so the two
+    render the same distribution."""
+    lin = np.linspace(0, 2 * np.pi, image_size)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+    return np.stack([signal * np.sin((concept + 1) * xx),
+                     signal * np.cos((concept + 1) * yy),
+                     np.zeros_like(xx)], axis=-1).astype(np.float32)
+
+
 def _img_rng(seed: int, index: int) -> np.random.Generator:
     return np.random.default_rng(np.random.PCG64(seed * 1_000_003 + index))
 
@@ -75,15 +89,8 @@ class SyntheticCaptionDataset:
         if not hasattr(self, "_pattern_cache"):
             self._pattern_cache = {}
         if concept not in self._pattern_cache:
-            s = self.image_size
-            yy, xx = np.meshgrid(np.linspace(0, np.pi * 2, s),
-                                 np.linspace(0, np.pi * 2, s),
-                                 indexing="ij")
-            self._pattern_cache[concept] = (
-                (self.signal * np.sin((concept + 1) * xx)).astype(
-                    np.float32),
-                (self.signal * np.cos((concept + 1) * yy)).astype(
-                    np.float32))
+            pat = concept_pattern(self.image_size, concept, self.signal)
+            self._pattern_cache[concept] = (pat[..., 0], pat[..., 1])
         return self._pattern_cache[concept]
 
     def __len__(self):

@@ -91,11 +91,11 @@ class RawTrainer:
                 scores = self.evaluate(val_loaders)
                 metadata["scores"] = scores["val"]
                 if best_score < scores["val"]["rsum"]:
-                    self.engine.save_models(best_model_save_to,
-                                            self.state, metadata)
                     best_score = scores["val"]["rsum"]
                     metadata["best_score"] = best_score
                     metadata["best_epoch"] = cur_epoch + 1
+                    self.engine.save_models(best_model_save_to,
+                                            self.state, metadata)
                 self.engine.report_scores(cur_epoch + 1, scores,
                                           metadata=metadata,
                                           logger=self.logger)

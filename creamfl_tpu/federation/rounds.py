@@ -33,10 +33,26 @@ from creamfl_tpu.engine.client_mm import MMClientEngine
 from creamfl_tpu.engine.client_uni import UniClientEngine
 from creamfl_tpu.engine.evaluator import RetrievalEvaluator
 from creamfl_tpu.engine.server import ServerEngine
+from creamfl_tpu.data.loaders import suffix_valid
 from creamfl_tpu.federation.aggregation import aggregate_modalities
 from creamfl_tpu.utils.checkpoint import RoundCheckpointer
 from creamfl_tpu.utils.logging import NoOpTracker, PythonLogger
 from creamfl_tpu.utils.serialize import save_checkpoint
+
+
+@jax.jit
+def _client_epoch_keys(root, round_n, client_idxs, epoch):
+    """[C] per-client dropout keys for one local epoch, derived by
+    fold_in on (round, client_idx, epoch) — order-independent, so the
+    stacked lock-step path and the sequential parity oracle consume
+    identical streams (the per-step key is ``fold_in(epoch_key, step)``
+    in both). threefry root: rbg keys serialize under vmap (BENCH.md)."""
+    def one(idx):
+        k = jax.random.fold_in(root, round_n)
+        k = jax.random.fold_in(k, idx)
+        return jax.random.fold_in(k, epoch)
+
+    return jax.vmap(one)(client_idxs)
 
 
 class ClientHandle:
@@ -69,6 +85,23 @@ class MMFL:
         from creamfl_tpu.utils.helper import fast_prng_key
 
         self.key = fast_prng_key(args.seed)
+        # Client-dropout root: threefry (rbg does not vectorize under
+        # vmap — BENCH.md round-2 probes) and consumed by fold_in on
+        # (round, client, epoch, step) rather than sequential splits, so
+        # the stacked and sequential (--no_client_parallel) paths draw
+        # IDENTICAL per-client streams regardless of execution order.
+        self.client_key = jax.random.PRNGKey(args.seed)
+
+        # Multi-device: shard stacked client states over a mesh. The
+        # vmapped client programs then partition over ICI with zero
+        # communication during local epochs (DESIGN.md). Built before
+        # the evaluator so retrieval ranking shards over it too.
+        self.mesh = None
+        if jax.device_count() > 1 and getattr(args, "use_mesh", True):
+            from creamfl_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_client=jax.device_count(), n_data=1)
+            self.logger.log(f"client mesh: {self.mesh}")
 
         vocab_size = len(datasets["vocab"])
         self.server = ServerEngine(server_config, vocab_size,
@@ -81,6 +114,7 @@ class MMFL:
                                                 1000),
             n_captions_per_crossfold=datasets.get(
                 "n_captions_per_crossfold", 5000),
+            mesh=self.mesh,
             logger=self.logger)
 
         self.clients: List[ClientHandle] = []
@@ -114,16 +148,6 @@ class MMFL:
         from creamfl_tpu.utils.profiling import StepTimer
 
         self.timer = StepTimer(logger=self.logger)
-
-        # Multi-device: shard stacked client states over a mesh. The
-        # vmapped client programs then partition over ICI with zero
-        # communication during local epochs (DESIGN.md).
-        self.mesh = None
-        if jax.device_count() > 1 and getattr(args, "use_mesh", True):
-            from creamfl_tpu.parallel.mesh import make_mesh
-
-            self.mesh = make_mesh(n_client=jax.device_count(), n_data=1)
-            self.logger.log(f"client mesh: {self.mesh}")
 
     def _group_sharding(self, n_members: int):
         if self.mesh is None:
@@ -304,9 +328,7 @@ class MMFL:
                 self.server_state, images, captions, lengths, bert_mask)
             self.server_state = self.server_state.replace(batch_stats=bs)
             valid = np.asarray(batch["valid"])
-            assert valid.all() or not valid[valid.argmin():].any(), \
-                "pad must be a suffix"
-            n_valid += int(valid.sum())
+            n_valid += suffix_valid(valid)
             img_parts.append(img_f)
             txt_parts.append(txt_f)
             index_parts.append(np.asarray(batch["index"])[valid])
@@ -419,9 +441,11 @@ class MMFL:
         client.state = engine.set_round_lr(client.state, round_n)
         do_inter = args.contrast_local_inter
         do_intra = args.contrast_local_intra
-        for _ in range(args.local_epochs):
-            for batch in client.train_loader:
-                self.key, sub = jax.random.split(self.key)
+        idxs = jnp.asarray([client.client_idx], jnp.int32)
+        for e in range(args.local_epochs):
+            ek = _client_epoch_keys(self.client_key, round_n, idxs, e)[0]
+            for t, batch in enumerate(client.train_loader):
+                sub = jax.random.fold_in(ek, t)
                 client.state, _ = engine.local_step(
                     client.state, _device_batch(batch), sub)
             if do_inter or do_intra:
@@ -468,11 +492,20 @@ class MMFL:
         for c in members:
             c.state = engine.set_round_lr(c.state, round_n)
 
-        def next_keys(n):
-            self.key, *subs = jax.random.split(self.key, n + 1)
-            return jnp.stack(subs)
+        member_idxs = jnp.asarray([c.client_idx for c in members],
+                                  jnp.int32)
 
-        for _ in range(args.local_epochs):
+        for e in range(args.local_epochs):
+            if kind == "mm":
+                eks = _client_epoch_keys(self.client_key, round_n,
+                                         member_idxs, e)
+
+                def next_keys(n, step, eks=eks):
+                    assert n == len(members)
+                    return jax.vmap(
+                        lambda k: jax.random.fold_in(k, step))(eks)
+            else:
+                next_keys = None
             states = S.stacked_task_epoch(
                 engine, [c.state for c in members],
                 [c.train_loader for c in members], _device_batch,

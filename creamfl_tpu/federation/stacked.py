@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from creamfl_tpu.data.loaders import suffix_valid as _suffix_valid
 from creamfl_tpu.engine.state import EngineState
 from creamfl_tpu.parallel.client_parallel import (_stack_prog,
                                                   stack_states,
@@ -133,53 +134,46 @@ def _lowering_for(sharding) -> str:
 
 
 @functools.lru_cache(maxsize=None)
+def _chunk_prog(engine, do_inter: bool, do_intra: bool,
+                has_old_bs: bool, lowering: str, g_keys: Tuple[str, str]):
+    """Jitted program advancing the stacked clients over one chunk of
+    batches (outer ``lax.scan``), the client axis mapped per
+    ``lowering``. ``g_keys`` names the two global feature matrices in
+    the per-batch globals dict — ``("same","other")`` for uni engines,
+    ``("img","txt")`` for mm (the only difference between families)."""
+    k0, k1 = g_keys
+
+    def run(stacked, old_params, old_bs, batches, idxs, g0, g1):
+        def one(state, old_p, old_b, batch, globals_):
+            return engine.contrast_step(state, old_p, old_b, batch,
+                                        globals_, do_inter, do_intra)
+
+        vstep = _client_map(one,
+                            (0, 0, 0 if has_old_bs else None,
+                             None, {k0: None, k1: None,
+                                    "index": None}), lowering)
+
+        def body(st, inp):
+            batch, idx = inp
+            st, loss = vstep(st, old_params, old_bs, batch,
+                             {k0: g0, k1: g1, "index": idx})
+            return st, loss
+
+        return lax.scan(body, stacked, (batches, idxs))
+
+    return jax.jit(run)
+
+
 def _uni_chunk_prog(engine, do_inter: bool, do_intra: bool,
                     has_old_bs: bool, lowering: str = "scan"):
-    def run(stacked, old_params, old_bs, batches, idxs, same, other):
-        def one(state, old_p, old_b, batch, globals_):
-            return engine.contrast_step(state, old_p, old_b, batch,
-                                        globals_, do_inter, do_intra)
-
-        vstep = _client_map(one,
-                            (0, 0, 0 if has_old_bs else None,
-                             None, {"same": None,
-                                    "other": None,
-                                    "index": None}), lowering)
-
-        def body(st, inp):
-            batch, idx = inp
-            st, loss = vstep(st, old_params, old_bs, batch,
-                             {"same": same, "other": other,
-                              "index": idx})
-            return st, loss
-
-        return lax.scan(body, stacked, (batches, idxs))
-
-    return jax.jit(run)
+    return _chunk_prog(engine, do_inter, do_intra, has_old_bs, lowering,
+                       ("same", "other"))
 
 
-@functools.lru_cache(maxsize=None)
 def _mm_chunk_prog(engine, do_inter: bool, do_intra: bool,
                    has_old_bs: bool, lowering: str = "scan"):
-    def run(stacked, old_params, old_bs, batches, idxs, g_img, g_txt):
-        def one(state, old_p, old_b, batch, globals_):
-            return engine.contrast_step(state, old_p, old_b, batch,
-                                        globals_, do_inter, do_intra)
-
-        vstep = _client_map(one,
-                            (0, 0, 0 if has_old_bs else None,
-                             None, {"img": None, "txt": None,
-                                    "index": None}), lowering)
-
-        def body(st, inp):
-            batch, idx = inp
-            st, loss = vstep(st, old_params, old_bs, batch,
-                             {"img": g_img, "txt": g_txt, "index": idx})
-            return st, loss
-
-        return lax.scan(body, stacked, (batches, idxs))
-
-    return jax.jit(run)
+    return _chunk_prog(engine, do_inter, do_intra, has_old_bs, lowering,
+                       ("img", "txt"))
 
 
 def _place(tree, sharding):
@@ -208,9 +202,12 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     Clients advance in lock-step; when a client's stream runs out before
     the family max, its slot replays its last batch with ``active=False``
     so the vmapped program keeps a static shape while the select freezes
-    its state. ``next_keys(C)`` supplies per-step dropout keys for mm
-    clients. ``device_batch_fn`` is kept for API compatibility; batches
-    now stack host-side and cross as one transfer per field per step.
+    its state. ``next_keys(C, step)`` supplies per-client dropout keys
+    for mm clients — keyed on the lock-step index, which equals each
+    active client's own batch index, so the sequential oracle can derive
+    the identical keys (rounds._client_epoch_keys). ``device_batch_fn``
+    is kept for API compatibility; batches now stack host-side and cross
+    as one transfer per field per step.
     """
     del device_batch_fn
     stacked = _place(stack_states(list(states)), sharding)
@@ -231,6 +228,7 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
         vstep = jax.jit(_client_map(one, (0, 0, 0), lowering))
 
     last = [None] * len(iters)
+    step = 0
     while True:
         batches, active = [], []
         for i, it in enumerate(iters):
@@ -254,9 +252,10 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
         amask = np.asarray(active)
         if mm:
             stacked = vstep(stacked, stacked_batch, amask,
-                            next_keys(len(iters)))
+                            next_keys(len(iters), step))
         else:
             stacked = vstep(stacked, stacked_batch, amask)
+        step += 1
     return unstack_states(stacked, len(states))
 
 
@@ -349,11 +348,6 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
     return unstack_states(stacked, len(states))
 
 
-def _suffix_valid(valid: np.ndarray) -> int:
-    """Loader pads are a suffix (ArrayLoader pad_last); assert + count."""
-    assert valid.all() or not valid[valid.argmin():].any(), \
-        "pad must be a suffix"
-    return int(valid.sum())
 
 
 def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,

@@ -1,0 +1,85 @@
+"""stacked_task_epoch(mm=True) == sequential local_step loop.
+
+The mm local epochs use dropout, so parity with the sequential oracle
+(--no_client_parallel) requires both paths to draw IDENTICAL per-client
+key streams. rounds._client_epoch_keys derives keys by fold_in on
+(round, client_idx, epoch) + per-step fold_in — order-independent —
+and the stacked lock-step index equals each active client's own batch
+index, so the streams line up even with uneven loader lengths
+(reference sequential loop: MMClientTrainer.py:112-142).
+"""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creamfl_tpu.config import default_config_path, parse_config
+from creamfl_tpu.engine.client_mm import MMClientEngine
+from creamfl_tpu.federation import stacked as S
+from creamfl_tpu.federation.rounds import _client_epoch_keys
+
+
+class _ListLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _batch(rng, bs=2, s=32, L=5):
+    return {"images": rng.normal(size=(bs, s, s, 3)).astype(np.float32),
+            "captions": rng.integers(1, 20, size=(bs, L)).astype(np.int32),
+            "lengths": np.full((bs,), L, np.int32)}
+
+
+def test_stacked_mm_task_epoch_matches_sequential(rng):
+    cfg = parse_config(default_config_path("f30k.yaml"), strict_cast=False)
+    cfg.model.embed_dim = 8
+    cfg.model.cnn_type = "resnet10"
+    cfg.model.word_dim = 8
+    cfg.train.use_bf16 = False
+    args = types.SimpleNamespace(feature_dim=8, mlp_local=False,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = MMClientEngine(cfg, vocab_size=20, args=args)
+
+    sample = _batch(rng)
+    states = [engine.init_state(jax.random.PRNGKey(i), sample)
+              for i in range(3)]
+    # Uneven loader lengths exercise the exhausted-client masking.
+    loaders = [[_batch(rng) for _ in range(n)] for n in (3, 1, 2)]
+    root = jax.random.PRNGKey(7)
+    round_n, epoch = 2, 0
+    idxs = jnp.asarray([10, 11, 12], jnp.int32)  # global client_idx
+
+    # Sequential oracle: per client, its own batches in order.
+    seq = []
+    for c, (st, batches) in enumerate(zip(states, loaders)):
+        ek = _client_epoch_keys(root, round_n, idxs[c:c + 1], epoch)[0]
+        for t, b in enumerate(batches):
+            st, _ = engine.local_step(
+                st, {k: jnp.asarray(v) for k, v in b.items()},
+                jax.random.fold_in(ek, t))
+        seq.append(st)
+
+    eks = _client_epoch_keys(root, round_n, idxs, epoch)
+
+    def next_keys(n, step):
+        return jax.vmap(lambda k: jax.random.fold_in(k, step))(eks)
+
+    got = S.stacked_task_epoch(
+        engine, states, [_ListLoader(b) for b in loaders],
+        lambda b: b, mm=True, next_keys=next_keys)
+
+    # fp32 fusion differences between the lowerings leave a handful of
+    # elements ~1e-4 apart; a dropout-key mismatch changes which
+    # activations survive, so updates would differ at the update's own
+    # magnitude across MOST elements. Assert tight mean + bounded max.
+    for a, b in zip(seq, got):
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            diff = np.abs(np.asarray(x, np.float64)
+                          - np.asarray(y, np.float64))
+            assert diff.max() < 1e-3, diff.max()
+            assert diff.mean() < 1e-5, diff.mean()
