@@ -175,37 +175,6 @@ def bench_conw(on_tpu: bool):
     return dt
 
 
-def project_round_seconds(server_dt, contrast_dt, conw_dt,
-                          server_bs=64):
-    """Projected wall-clock of one full paper-scale federated round from
-    the measured step times (documented derivation; the reference round
-    on its single GPU is hours-scale).
-
-    Paper config: 50k public set, server bs128 (391 steps), 10 clients
-    sampled, 5 local epochs, eval on 5k COCO test.
-    Assumptions: per-sample server cost scales linearly from the
-    measured batch; extraction/eval forward ~ 1/3 of a train step;
-    distill ~ 1 train step; client contrast dominated by the measured
-    bs128 gallery step plus a client-model forward/backward ~ 1/4 of
-    the server step (resnet18/GRU vs R101+BERT); client local task
-    epochs ~ 0.5 server epoch each (bs512 at 256px resnet18 ~ half the
-    FLOPs of the public epoch).
-    """
-    per_sample = server_dt / server_bs
-    steps_pub = 50000 // 128
-    server_epoch = steps_pub * per_sample * 128
-    extraction = 50000 * per_sample / 3
-    distill = server_epoch
-    client_fwd_bwd = per_sample * 128 / 4
-    contrast_epoch = steps_pub * (contrast_dt + client_fwd_bwd)
-    client_cost = 10 * 5 * (contrast_epoch + 0.5 * server_epoch / 2)
-    reps = 10 * 50000 * per_sample / (3 * 4)
-    conw = 2 * conw_dt  # both modalities
-    eval_cost = 30000 * per_sample / 3
-    return (server_epoch + extraction + client_cost + reps + conw
-            + distill + eval_cost)
-
-
 def main():
     from creamfl_tpu.main import _enable_compile_cache
 
@@ -215,9 +184,6 @@ def main():
     server_sps, server_dt = bench_server_step(on_tpu)
     contrast_sps, contrast_dt = bench_contrast_step(on_tpu)
     conw_dt = bench_conw(on_tpu)
-    projected = (project_round_seconds(server_dt, contrast_dt, conw_dt,
-                                       server_bs=128)
-                 if on_tpu else None)
 
     # Measured paper-scale round (written by a --paper_scale run via
     # tools/record_paper_round.py; measured, not projected).
@@ -245,8 +211,6 @@ def main():
             "contrast_step_samples_per_s": round(contrast_sps, 2),
             "contrast_step_ms": round(contrast_dt * 1e3, 2),
             "conw_aggregate_s": round(conw_dt, 4),
-            "projected_full_round_s": (round(projected, 1)
-                                       if projected else None),
             "measured_paper_round": measured_round,
             "baseline_note": "vs 500 samples/s reference roofline "
                              "(V100 fp16; derivation in bench.py docstring "
