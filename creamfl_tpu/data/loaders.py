@@ -219,7 +219,12 @@ class PrefetchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            t.join()
+            # Bounded join: the fill thread notices `stop` between loader
+            # items, but an in-flight self.loader.__next__ can block
+            # arbitrarily (device sync, slow source) — it's a daemon
+            # thread, so let it die on its own rather than stall the
+            # consumer.
+            t.join(timeout=5.0)
         if err:
             raise err[0]
 

@@ -496,20 +496,13 @@ class MMFL:
                                   jnp.int32)
 
         for e in range(args.local_epochs):
-            if kind == "mm":
-                eks = _client_epoch_keys(self.client_key, round_n,
-                                         member_idxs, e)
-
-                def next_keys(n, step, eks=eks):
-                    assert n == len(members)
-                    return jax.vmap(
-                        lambda k: jax.random.fold_in(k, step))(eks)
-            else:
-                next_keys = None
+            epoch_keys = (_client_epoch_keys(self.client_key, round_n,
+                                             member_idxs, e)
+                          if kind == "mm" else None)
             states = S.stacked_task_epoch(
                 engine, [c.state for c in members],
                 [c.train_loader for c in members], _device_batch,
-                mm=(kind == "mm"), next_keys=next_keys,
+                mm=(kind == "mm"), epoch_keys=epoch_keys,
                 sharding=sharding)
             for c, s in zip(members, states):
                 c.state = s

@@ -192,8 +192,31 @@ def _select_state(active, new_state, old_state):
                         new_state, old_state)
 
 
+@functools.lru_cache(maxsize=None)
+def _task_step_prog(engine, mm: bool, lowering: str):
+    """Jitted lock-step task program, cached per (engine, mm, lowering)
+    — a fresh jit wrapper per epoch would re-trace the client-sized
+    program every call (5 epochs x 3 families x N rounds). For mm the
+    per-step dropout key is derived INSIDE the program
+    (``fold_in(epoch_key, step)``) so the host issues zero extra
+    dispatches per step."""
+    if mm:
+        def one(state, batch, active, ek, step):
+            new_state, _ = engine.local_step(
+                state, batch, jax.random.fold_in(ek, step))
+            return _select_state(active, new_state, state)
+
+        return jax.jit(_client_map(one, (0, 0, 0, 0, None), lowering))
+
+    def one(state, batch, active):
+        new_state, _ = engine.task_step(state, batch)
+        return _select_state(active, new_state, state)
+
+    return jax.jit(_client_map(one, (0, 0, 0), lowering))
+
+
 def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
-                       device_batch_fn, mm: bool = False, next_keys=None,
+                       device_batch_fn, mm: bool = False, epoch_keys=None,
                        sharding=None) -> List[EngineState]:
     """One local task epoch for C stacked clients of one family, each on
     its OWN loader (reference HOT LOOP 3, ClientTrainer.py:322-367 /
@@ -202,30 +225,17 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     Clients advance in lock-step; when a client's stream runs out before
     the family max, its slot replays its last batch with ``active=False``
     so the vmapped program keeps a static shape while the select freezes
-    its state. ``next_keys(C, step)`` supplies per-client dropout keys
-    for mm clients — keyed on the lock-step index, which equals each
-    active client's own batch index, so the sequential oracle can derive
-    the identical keys (rounds._client_epoch_keys). ``device_batch_fn``
-    is kept for API compatibility; batches now stack host-side and cross
-    as one transfer per field per step.
+    its state. ``epoch_keys`` ([C] PRNG keys) seeds per-client dropout
+    for mm clients; the per-step key folds in the lock-step index, which
+    equals each active client's own batch index, so the sequential
+    oracle derives identical keys (rounds._client_epoch_keys).
+    ``device_batch_fn`` is kept for API compatibility; batches now stack
+    host-side and cross as one transfer per field per step.
     """
     del device_batch_fn
     stacked = _place(stack_states(list(states)), sharding)
     iters = [iter(loader) for loader in loaders]
-    lowering = _lowering_for(sharding)
-
-    if mm:
-        def one(state, batch, active, key):
-            new_state, _ = engine.local_step(state, batch, key)
-            return _select_state(active, new_state, state)
-
-        vstep = jax.jit(_client_map(one, (0, 0, 0, 0), lowering))
-    else:
-        def one(state, batch, active):
-            new_state, _ = engine.task_step(state, batch)
-            return _select_state(active, new_state, state)
-
-        vstep = jax.jit(_client_map(one, (0, 0, 0), lowering))
+    vstep = _task_step_prog(engine, mm, _lowering_for(sharding))
 
     last = [None] * len(iters)
     step = 0
@@ -251,11 +261,70 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
         stacked_batch = _stack_chunk(batches)
         amask = np.asarray(active)
         if mm:
-            stacked = vstep(stacked, stacked_batch, amask,
-                            next_keys(len(iters), step))
+            stacked = vstep(stacked, stacked_batch, amask, epoch_keys,
+                            np.int32(step))
         else:
             stacked = vstep(stacked, stacked_batch, amask)
         step += 1
+    return unstack_states(stacked, len(states))
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_step_prog(engine, do_inter: bool, do_intra: bool,
+                     has_old_bs: bool, lowering: str,
+                     g_keys: Tuple[str, str]):
+    """Jitted single-batch contrast program (the trailing-partial-chunk
+    path), cached like ``_chunk_prog`` so per-epoch calls don't
+    re-trace."""
+    k0, k1 = g_keys
+
+    def one(state, old_p, old_b, batch, globals_):
+        return engine.contrast_step(state, old_p, old_b, batch,
+                                    globals_, do_inter, do_intra)
+
+    return jax.jit(_client_map(
+        one, (0, 0, 0 if has_old_bs else None, None,
+              {k0: None, k1: None, "index": None}), lowering))
+
+
+def _contrast_epoch(engine, states, old_params_list, old_bs_list,
+                    pub_loader, g0, g1, batch_rows_fn,
+                    do_inter: bool, do_intra: bool, device_batch_fn,
+                    sharding, scan_chunk: int,
+                    g_keys: Tuple[str, str]) -> List[EngineState]:
+    """One contrast epoch for C stacked clients of one family. Full
+    chunks of ``scan_chunk`` batches run as one scanned dispatch; the
+    trailing partial chunk runs per-batch (identical math). ``g_keys``
+    names the global feature mats ``(g0, g1)`` in the engine's globals
+    dict — the only uni/mm difference."""
+    stacked = _place(stack_states(list(states)), sharding)
+    old_params = _place(_stack_trees(old_params_list), sharding)
+    has_old_bs = (bool(old_bs_list)
+                  and (not isinstance(old_bs_list, (list, tuple))
+                       or bool(old_bs_list[0])))
+    old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
+    old_bs = _place(old_bs, sharding) if old_bs else old_bs
+
+    lowering = _lowering_for(sharding)
+    k0, k1 = g_keys
+    vstep = _batch_step_prog(engine, do_inter, do_intra, bool(old_bs),
+                             lowering, g_keys)
+    chunk_prog = _chunk_prog(engine, do_inter, do_intra, bool(old_bs),
+                             lowering, g_keys)
+
+    for group in _chunks(pub_loader, max(1, scan_chunk)):
+        if len(group) == scan_chunk and scan_chunk > 1:
+            batches = _stack_chunk(group)
+            idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
+            stacked, _ = chunk_prog(stacked, old_params,
+                                    old_bs if old_bs else None,
+                                    batches, idxs, g0, g1)
+            continue
+        for batch in group:
+            globals_ = {k0: g0, k1: g1, "index": batch_rows_fn(batch)}
+            stacked, _ = vstep(stacked, old_params,
+                               old_bs if old_bs else None,
+                               device_batch_fn(batch), globals_)
     return unstack_states(stacked, len(states))
 
 
@@ -266,44 +335,10 @@ def stacked_uni_contrast_epoch(engine, states: Sequence[EngineState],
                                device_batch_fn, sharding=None,
                                scan_chunk: int = SCAN_CHUNK
                                ) -> List[EngineState]:
-    """One contrast epoch for C stacked unimodal clients of one family.
-    Full chunks of ``scan_chunk`` batches run as one scanned dispatch;
-    the trailing partial chunk runs per-batch (identical math)."""
-    stacked = _place(stack_states(list(states)), sharding)
-    old_params = _place(_stack_trees(old_params_list), sharding)
-    has_old_bs = (bool(old_bs_list) and (not isinstance(old_bs_list, (list, tuple)) or bool(old_bs_list[0])))
-    old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
-    old_bs = _place(old_bs, sharding) if old_bs else old_bs
-
-    lowering = _lowering_for(sharding)
-
-    def one(state, old_p, old_b, batch, globals_):
-        new_state, loss = engine.contrast_step(state, old_p, old_b, batch,
-                                               globals_, do_inter,
-                                               do_intra)
-        return new_state, loss
-
-    vstep = jax.jit(_client_map(
-        one, (0, 0, 0 if old_bs else None, None,
-              {"same": None, "other": None, "index": None}), lowering))
-    chunk_prog = _uni_chunk_prog(engine, do_inter, do_intra,
-                                 bool(old_bs), lowering)
-
-    for group in _chunks(pub_loader, max(1, scan_chunk)):
-        if len(group) == scan_chunk and scan_chunk > 1:
-            batches = _stack_chunk(group)
-            idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
-            stacked, _ = chunk_prog(stacked, old_params,
-                                    old_bs if old_bs else None,
-                                    batches, idxs, same, other)
-            continue
-        for batch in group:
-            globals_ = {"same": same, "other": other,
-                        "index": batch_rows_fn(batch)}
-            stacked, _ = vstep(stacked, old_params,
-                               old_bs if old_bs else None,
-                               device_batch_fn(batch), globals_)
-    return unstack_states(stacked, len(states))
+    return _contrast_epoch(engine, states, old_params_list, old_bs_list,
+                           pub_loader, same, other, batch_rows_fn,
+                           do_inter, do_intra, device_batch_fn, sharding,
+                           scan_chunk, ("same", "other"))
 
 
 def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
@@ -313,41 +348,32 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
                               device_batch_fn, sharding=None,
                               scan_chunk: int = SCAN_CHUNK
                               ) -> List[EngineState]:
+    return _contrast_epoch(engine, states, old_params_list, old_bs_list,
+                           pub_loader, g_img, g_txt, batch_rows_fn,
+                           do_inter, do_intra, device_batch_fn, sharding,
+                           scan_chunk, ("img", "txt"))
+
+
+@functools.lru_cache(maxsize=None)
+def _feat_prog(engine, lowering: str):
+    return jax.jit(_client_map(engine.features_step, (0, None), lowering))
+
+
+def _stacked_feats(engine, states, pub_loader, device_batch_fn, sharding,
+                   collect_idx: bool):
+    """Shared sweep for rep extraction: [list of per-batch stacked
+    features], optional valid-row dataset indices, valid count."""
     stacked = _place(stack_states(list(states)), sharding)
-    old_params = _place(_stack_trees(old_params_list), sharding)
-    has_old_bs = (bool(old_bs_list) and (not isinstance(old_bs_list, (list, tuple)) or bool(old_bs_list[0])))
-    old_bs = _stack_trees(old_bs_list) if has_old_bs else {}
-    old_bs = _place(old_bs, sharding) if old_bs else old_bs
-
-    lowering = _lowering_for(sharding)
-
-    def one(state, old_p, old_b, batch, globals_):
-        return engine.contrast_step(state, old_p, old_b, batch, globals_,
-                                    do_inter, do_intra)
-
-    vstep = jax.jit(_client_map(
-        one, (0, 0, 0 if old_bs else None, None,
-              {"img": None, "txt": None, "index": None}), lowering))
-    chunk_prog = _mm_chunk_prog(engine, do_inter, do_intra,
-                                bool(old_bs), lowering)
-
-    for group in _chunks(pub_loader, max(1, scan_chunk)):
-        if len(group) == scan_chunk and scan_chunk > 1:
-            batches = _stack_chunk(group)
-            idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
-            stacked, _ = chunk_prog(stacked, old_params,
-                                    old_bs if old_bs else None,
-                                    batches, idxs, g_img, g_txt)
-            continue
-        for batch in group:
-            globals_ = {"img": g_img, "txt": g_txt,
-                        "index": batch_rows_fn(batch)}
-            stacked, _ = vstep(stacked, old_params,
-                               old_bs if old_bs else None,
-                               device_batch_fn(batch), globals_)
-    return unstack_states(stacked, len(states))
-
-
+    vfeat = _feat_prog(engine, _lowering_for(sharding))
+    parts, idx_parts, n_valid = [], [], 0
+    for batch in pub_loader:
+        feats = vfeat(stacked, device_batch_fn(batch))
+        valid = np.asarray(batch["valid"])
+        n_valid += _suffix_valid(valid)
+        parts.append(feats)
+        if collect_idx:
+            idx_parts.append(np.asarray(batch["index"])[valid])
+    return parts, idx_parts, n_valid
 
 
 def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
@@ -356,33 +382,19 @@ def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
     """[C, N, d] representations (device-resident — con_w consumes them
     on device; per-batch host fetches would cost a transfer round-trip
     each) + [N] dataset indices."""
-    stacked = _place(stack_states(list(states)), sharding)
-    vfeat = jax.jit(_client_map(engine.features_step, (0, None),
-                                _lowering_for(sharding)))
-    parts, idx_parts = [], []
-    n_valid = 0
-    for batch in pub_loader:
-        feats = vfeat(stacked, device_batch_fn(batch))  # [C, B, d]
-        valid = np.asarray(batch["valid"])
-        n_valid += _suffix_valid(valid)
-        parts.append(feats)
-        idx_parts.append(np.asarray(batch["index"])[valid])
+    parts, idx_parts, n_valid = _stacked_feats(
+        engine, states, pub_loader, device_batch_fn, sharding,
+        collect_idx=True)
     reps = jnp.concatenate(parts, axis=1)[:, :n_valid]
     return reps, np.concatenate(idx_parts)
 
 
 def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
                     device_batch_fn, sharding=None):
-    stacked = _place(stack_states(list(states)), sharding)
-    vfeat = jax.jit(_client_map(engine.features_step, (0, None),
-                                _lowering_for(sharding)))
-    img_parts, txt_parts = [], []
-    n_valid = 0
-    for batch in pub_loader:
-        fi, ft = vfeat(stacked, device_batch_fn(batch))
-        valid = np.asarray(batch["valid"])
-        n_valid += _suffix_valid(valid)
-        img_parts.append(fi)
-        txt_parts.append(ft)
+    parts, _, n_valid = _stacked_feats(
+        engine, states, pub_loader, device_batch_fn, sharding,
+        collect_idx=False)
+    img_parts = [fi for fi, _ in parts]
+    txt_parts = [ft for _, ft in parts]
     return (jnp.concatenate(img_parts, axis=1)[:, :n_valid],
             jnp.concatenate(txt_parts, axis=1)[:, :n_valid])

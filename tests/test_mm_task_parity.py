@@ -14,11 +14,13 @@ import types
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from creamfl_tpu.config import default_config_path, parse_config
 from creamfl_tpu.engine.client_mm import MMClientEngine
 from creamfl_tpu.federation import stacked as S
 from creamfl_tpu.federation.rounds import _client_epoch_keys
+from creamfl_tpu.parallel.mesh import client_sharding, make_mesh
 
 
 class _ListLoader:
@@ -35,7 +37,8 @@ def _batch(rng, bs=2, s=32, L=5):
             "lengths": np.full((bs,), L, np.int32)}
 
 
-def test_stacked_mm_task_epoch_matches_sequential(rng):
+@pytest.mark.parametrize("lowering", ["scan", "vmap"])
+def test_stacked_mm_task_epoch_matches_sequential(rng, lowering):
     cfg = parse_config(default_config_path("f30k.yaml"), strict_cast=False)
     cfg.model.embed_dim = 8
     cfg.model.cnn_type = "resnet10"
@@ -47,12 +50,12 @@ def test_stacked_mm_task_epoch_matches_sequential(rng):
 
     sample = _batch(rng)
     states = [engine.init_state(jax.random.PRNGKey(i), sample)
-              for i in range(3)]
+              for i in range(4)]
     # Uneven loader lengths exercise the exhausted-client masking.
-    loaders = [[_batch(rng) for _ in range(n)] for n in (3, 1, 2)]
+    loaders = [[_batch(rng) for _ in range(n)] for n in (3, 1, 2, 2)]
     root = jax.random.PRNGKey(7)
     round_n, epoch = 2, 0
-    idxs = jnp.asarray([10, 11, 12], jnp.int32)  # global client_idx
+    idxs = jnp.asarray([10, 11, 12, 13], jnp.int32)  # global client_idx
 
     # Sequential oracle: per client, its own batches in order.
     seq = []
@@ -66,20 +69,28 @@ def test_stacked_mm_task_epoch_matches_sequential(rng):
 
     eks = _client_epoch_keys(root, round_n, idxs, epoch)
 
-    def next_keys(n, step):
-        return jax.vmap(lambda k: jax.random.fold_in(k, step))(eks)
+    # sharding=None -> scan lowering; a 2-device client mesh -> vmap
+    # (the multi-device branch of _client_map, incl. key handling).
+    sharding = (None if lowering == "scan"
+                else client_sharding(make_mesh(n_client=2, n_data=1,
+                                               devices=jax.devices()[:2])))
 
     got = S.stacked_task_epoch(
         engine, states, [_ListLoader(b) for b in loaders],
-        lambda b: b, mm=True, next_keys=next_keys)
+        lambda b: b, mm=True, epoch_keys=eks, sharding=sharding)
 
-    # fp32 fusion differences between the lowerings leave a handful of
-    # elements ~1e-4 apart; a dropout-key mismatch changes which
-    # activations survive, so updates would differ at the update's own
-    # magnitude across MOST elements. Assert tight mean + bounded max.
+    # scan is the sharp key-parity check: per-client math is identical
+    # ops, residual diff is pure fusion noise (~1e-6 mean). The vmap
+    # (grouped-conv) lowering legitimately differs more: a control run
+    # with IDENTICAL keys (scan vs vmap) reaches ~1e-3 max / ~1e-4 mean
+    # after 3 AdamP+BN steps at bs2 — the same magnitude observed here —
+    # so the looser vmap bound still rules out a key mismatch, which
+    # would diverge at the full update magnitude.
+    tol_max, tol_mean = ((1e-3, 1e-5) if lowering == "scan"
+                         else (5e-3, 5e-4))
     for a, b in zip(seq, got):
         for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
             diff = np.abs(np.asarray(x, np.float64)
                           - np.asarray(y, np.float64))
-            assert diff.max() < 1e-3, diff.max()
-            assert diff.mean() < 1e-5, diff.mean()
+            assert diff.max() < tol_max, diff.max()
+            assert diff.mean() < tol_mean, diff.mean()

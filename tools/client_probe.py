@@ -89,7 +89,8 @@ def stack_tree(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def probe_uni(kind: str, n_clients: int, scan_chunk: int, results):
+def probe_uni(kind: str, n_clients: int, scan_chunk: int, results,
+              lowering: str = "scan"):
     from creamfl_tpu.engine.client_uni import UniClientEngine
     from creamfl_tpu.federation import stacked as S
 
@@ -112,7 +113,8 @@ def probe_uni(kind: str, n_clients: int, scan_chunk: int, results):
     batches = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (scan_chunk,) + x.shape),
         batch)
-    prog = S._uni_chunk_prog(engine, True, True, bool(old_bs))
+    prog = S._uni_chunk_prog(engine, True, True, bool(old_bs),
+                             lowering)
 
     def call():
         st, _ = prog(stacked, old_params, old_bs if old_bs else None,
@@ -128,7 +130,8 @@ def probe_uni(kind: str, n_clients: int, scan_chunk: int, results):
           f"{per_batch*391*5:.0f}s/round)", flush=True)
 
 
-def probe_mm(n_clients: int, scan_chunk: int, results, task=False):
+def probe_mm(n_clients: int, scan_chunk: int, results, task=False,
+             lowering: str = "scan"):
     from creamfl_tpu.config import default_config_path, parse_config
     from creamfl_tpu.engine.client_mm import MMClientEngine
     from creamfl_tpu.federation import stacked as S
@@ -174,7 +177,8 @@ def probe_mm(n_clients: int, scan_chunk: int, results, task=False):
               f"(paper round: x{76*5} = {dt*76*5:.0f}s/round)", flush=True)
         return
 
-    prog = S._mm_chunk_prog(engine, True, True, bool(old_bs))
+    prog = S._mm_chunk_prog(engine, True, True, bool(old_bs),
+                            lowering)
 
     def call():
         st, _ = prog(stacked, old_params, old_bs if old_bs else None,
@@ -194,17 +198,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parts", default="txt,img,mm,mm_task")
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--lowering", default="scan", choices=["scan", "vmap"],
+                    help="client-axis lowering to measure (production: "
+                         "scan on one device, vmap on a client mesh)")
     args = ap.parse_args()
     parts = args.parts.split(",")
     results = {}
     if "txt" in parts:
-        probe_uni("txt", 3, args.chunk, results)
+        probe_uni("txt", 3, args.chunk, results, args.lowering)
     if "img" in parts:
-        probe_uni("img", 3, args.chunk, results)
+        probe_uni("img", 3, args.chunk, results, args.lowering)
     if "mm" in parts:
-        probe_mm(4, args.chunk, results)
+        probe_mm(4, args.chunk, results, lowering=args.lowering)
     if "mm_task" in parts:
-        probe_mm(4, args.chunk, results, task=True)
+        probe_mm(4, args.chunk, results, task=True,
+                 lowering=args.lowering)
     print(json.dumps(results))
 
 
