@@ -199,3 +199,30 @@ def test_device_synth_deterministic_per_image_id():
     np.testing.assert_array_equal(a[0], b[1])
     np.testing.assert_array_equal(a[1], b[0])
     assert not np.array_equal(a[0], a[1])
+
+
+def test_prefetch_loader_abandoned_iterators_do_not_leak_threads():
+    """Abandoning a prefetch iterator early (the next(iter(loader))
+    sample-probe pattern, or a pub_data_ratio<1 epoch) must release the
+    fill thread — it previously blocked forever on a full queue."""
+    import gc
+    import threading
+
+    from creamfl_tpu.data.loaders import PrefetchLoader
+
+    src = list(range(200))
+    pl = PrefetchLoader(src, depth=1)  # depth=1: tightest queue
+    before = threading.active_count()
+    for _ in range(20):
+        it = iter(pl)
+        assert next(it) == 0
+        del it
+    gc.collect()
+    # Fill threads notice the stop signal within ~0.1s each; give slack.
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        threading.Event().wait(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before, "leaked fill threads"
+    # Loader still works after abandonments (fresh iterator state).
+    assert list(pl) == src
