@@ -26,20 +26,13 @@ from creamfl_tpu.ops import dispatch
 from creamfl_tpu.ops.gallery import gallery_log_softmax_diag
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
-                    row_block: int = 1024,
-                    col_block: int = 8192,
-                    k_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """[K, N, d] client reps + [N, d] other-modality globals -> [N, d].
-
-    K (the stacked-client axis) is small and static, so the per-client
-    streamed diagonals unroll; on TPU each is the Pallas kernel.
-    ``k_mask`` ([K] bool) excludes padded clients from the softmax —
-    callers pad K to a bucket so per-round client sampling reuses one
-    compiled program per bucket instead of one per distinct K.
-    """
-    if dispatch._pallas_active():
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "use_pallas"))
+def _con_w_prog(client_reps: jnp.ndarray, global_other: jnp.ndarray,
+                row_block: int, col_block: int,
+                k_mask: Optional[jnp.ndarray],
+                use_pallas: bool) -> jnp.ndarray:
+    if use_pallas:
         diag_logprob = jnp.stack([
             dispatch.conw_diag_log_softmax(client_reps[k], global_other)
             for k in range(client_reps.shape[0])])
@@ -53,6 +46,28 @@ def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
         diag_logprob = jnp.where(k_mask[:, None], diag_logprob, -jnp.inf)
     alpha = jax.nn.softmax(diag_logprob, axis=0)  # softmax over clients
     return jnp.einsum("kn,knd->nd", alpha, client_reps)
+
+
+def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
+                    row_block: int = 1024,
+                    col_block: int = 8192,
+                    k_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[K, N, d] client reps + [N, d] other-modality globals -> [N, d].
+
+    K (the stacked-client axis) is small and static, so the per-client
+    streamed diagonals unroll; on TPU each is the Pallas kernel.
+    ``k_mask`` ([K] bool) excludes padded clients from the softmax —
+    callers pad K to a bucket so per-round client sampling reuses one
+    compiled program per bucket instead of one per distinct K.
+
+    The dispatch backend is resolved at CALL time and is part of the jit
+    cache key (``use_pallas`` static arg) — otherwise the first trace
+    would bake the backend in and a later ``dispatch.set_backend`` would
+    be silently ignored for same-shape calls.
+    """
+    return _con_w_prog(client_reps, global_other, row_block=row_block,
+                       col_block=col_block, k_mask=k_mask,
+                       use_pallas=dispatch._pallas_active())
 
 
 def _bucketed(reps: jnp.ndarray):

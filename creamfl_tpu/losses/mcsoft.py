@@ -140,7 +140,11 @@ def mcsoft_contrastive_loss(
     # transpose direction has identical value; keep 2x for parity.
     loss = 2.0 * one_dir
     if config.reduction == "mean":
-        loss = loss / (2.0 * n * n)
+        # Mean per direction over the n^2 pairs, then both directions
+        # added — the docstring convention (probemb.py:103). The
+        # reference declares this mode but never applies it
+        # (probemb.py:200 always .sum()s), so 'sum' is the parity path.
+        loss = loss / (n * n)
 
     # Optional terms (off in every CreamFL config; probemb.py:139-148).
     if config.uniform_lambda:

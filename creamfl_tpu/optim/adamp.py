@@ -49,10 +49,14 @@ def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
     optimizer's grouping).
     """
 
+    ca = channel_axis % p.ndim
+    # Shape after moveaxis(x, ca, 0) — also the inverse-reshape target.
+    moved_shape = (p.shape[ca],) + p.shape[:ca] + p.shape[ca + 1:]
+
     def to_channels(x):
         # channel axis -> leading, flatten the rest: [C, prod(rest)]
-        return jnp.moveaxis(x, channel_axis, 0).reshape(
-            x.shape[channel_axis], -1).astype(jnp.float32)
+        return jnp.moveaxis(x, ca, 0).reshape(
+            p.shape[ca], -1).astype(jnp.float32)
 
     def cosine_max(xv, yv):
         dot = jnp.sum(xv * yv, axis=1)
@@ -65,9 +69,8 @@ def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
         pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
         pert_v = to_channels(perturb)
         radial = jnp.sum(pn * pert_v, axis=1, keepdims=True)
-        out = (pert_v - pn * radial).reshape(
-            (p.shape[-1],) + p.shape[:-1])
-        return jnp.moveaxis(out, 0, -1)
+        out = (pert_v - pn * radial).reshape(moved_shape)
+        return jnp.moveaxis(out, 0, ca)
 
     def projected_layer():
         pv = p.reshape(1, -1).astype(jnp.float32)
@@ -76,7 +79,8 @@ def _project_views(p: jnp.ndarray, g: jnp.ndarray, perturb: jnp.ndarray,
         radial = jnp.sum(pn * pert_v)
         return (pert_v - pn * radial).reshape(p.shape)
 
-    channel_dim = math.prod(p.shape[:-1])  # elements per output channel
+    # Elements per channel-view row (torch: weight.view(C, -1).size(1)).
+    channel_dim = math.prod(p.shape) // p.shape[ca]
     layer_dim = math.prod(p.shape)
 
     cos_c = cosine_max(to_channels(g), to_channels(p))

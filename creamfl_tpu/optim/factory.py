@@ -57,9 +57,12 @@ def get_optimizer(name: str, learning_rate, config: Optional[dict] = None,
     eps = float(config.get("eps", 1e-8))
     wd = float(config.get("weight_decay", 0.0))
     if name == "adam":
-        tx = optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
-                         weight_decay=wd) if wd else optax.adam(
-            learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+        # torch optim.Adam couples weight_decay as L2 into the gradient
+        # BEFORE the moments (not adamw's decoupled decay), so parity is
+        # add_decayed_weights -> adam (optimizers.py:14-19).
+        tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
     elif name in ("adamp", "adamn"):
         tx = adamp(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
                    weight_decay=wd)

@@ -84,7 +84,8 @@ def test_con_w_bucket_padding_no_recompile(rng):
         np.testing.assert_allclose(np.asarray(out),
                                    naive_con_w(reps, g_txt),
                                    rtol=1e-4, atol=1e-6)
-        size = con_w_aggregate._cache_size()
+        from creamfl_tpu.federation.aggregation import _con_w_prog
+        size = _con_w_prog._cache_size()
         if cache0 is None:
             cache0 = size
         outs[k] = size

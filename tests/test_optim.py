@@ -101,3 +101,40 @@ def test_client_sgd_injects_round_lr():
     # momentum first step: update = -lr * (g + wd*p)
     np.testing.assert_allclose(np.asarray(up["w"]),
                                -1e-4 * (1 + 5e-5) * np.ones(3), rtol=1e-4)
+
+
+def test_adamp_embedding_channel_axis_rowwise_projection():
+    """nn.Embed tables are [vocab, features] (torch layout), so their
+    channel view groups by the FIRST axis — one row per vocab entry.
+    With per-row-orthogonal gradients the update must lose its radial
+    component per ROW, and the projected values must match a numpy
+    per-row oracle (regression: the inverse reshape used to scramble
+    channel_axis=0 leaves)."""
+    rng = np.random.default_rng(0)
+    vocab, feat = 5, 4
+    w = rng.normal(size=(vocab, feat)).astype(np.float32)
+    # Per-row orthogonal gradient: remove each row's radial component.
+    g = rng.normal(size=(vocab, feat)).astype(np.float32)
+    wn = w / np.linalg.norm(w, axis=1, keepdims=True)
+    g = (g - wn * np.sum(wn * g, axis=1, keepdims=True)).astype(np.float32)
+
+    params = {"txt_enc": {"embed": {"embedding": jnp.asarray(w)}}}
+    grads = {"txt_enc": {"embed": {"embedding": jnp.asarray(g)}}}
+    tx = adamp(1e-1)
+    state = tx.init(params)
+    up, _ = tx.update(grads, state, params)
+    upd = np.asarray(up["txt_enc"]["embed"]["embedding"])
+
+    # Radial component per row must vanish (projection fired per row).
+    radial = np.sum(upd * wn, axis=1)
+    np.testing.assert_allclose(radial, 0.0, atol=1e-6)
+
+    # Numpy oracle: perturb = m_hat/(sqrt(v_hat)+eps) row-projected.
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m = (1 - b1) * g / (1 - b1)
+    v = (1 - b2) * g * g / (1 - b2)
+    perturb = m / (np.sqrt(v) + eps)
+    pn = w / (np.linalg.norm(w, axis=1, keepdims=True) + eps)
+    expect = -0.1 * (perturb - pn * np.sum(pn * perturb, axis=1,
+                                           keepdims=True))
+    np.testing.assert_allclose(upd, expect, rtol=1e-4, atol=1e-5)
