@@ -41,6 +41,18 @@ from creamfl_tpu.models.clients import (ImageClientNet, TextClientNet,
 from creamfl_tpu.optim.factory import make_client_sgd
 
 
+def _deep_merge(a, b):
+    """Union of two nested variable dicts; on a shared leaf keep ``a``'s
+    (identical anyway — flax param rngs key off module paths)."""
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out.setdefault(k, v)
+    return out
+
+
 class UniClientEngine:
     """One engine per client *family* (image or text); individual clients
     differ only in their EngineState."""
@@ -92,8 +104,17 @@ class UniClientEngine:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _init_program(self, rng, *args) -> EngineState:
-        # Single compiled init (see ServerEngine._init_program).
+        # Single compiled init (see ServerEngine._init_program). Flax
+        # init is lazy, so with --mlp_local BOTH phases must initialize
+        # or the features-phase-only 'head_proj' params would never be
+        # created and the first contrast/features apply would fail.
+        # Flax derives param rngs from module paths (not creation
+        # order), so shared modules get identical params in both inits
+        # and a deep merge is exact.
         variables = self.model.init(rng, *args, False, "train")
+        if getattr(self.model, "mlp_local", False):
+            feat_vars = self.model.init(rng, *args, False, "features")
+            variables = _deep_merge(variables, feat_vars)
         params = variables["params"]
         return EngineState(params=params,
                            batch_stats=variables.get("batch_stats", {}),
@@ -185,20 +206,30 @@ class UniClientEngine:
                            step=state.step + 1), loss
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def features_step(self, state: EngineState, batch) -> jnp.ndarray:
-        """Representation upload pass. Reference keeps train-mode BN here
-        (ClientTrainer.extract_pub_feature never calls .eval()); we use
-        the batch statistics but do NOT persist the stats update (the
-        double update would drift across the two passes)."""
-        feats, _ = self._apply(state.params, state.batch_stats, batch,
-                               train=True, phase="features", mutable=True)
-        return feats
+    def features_step(self, state: EngineState, batch):
+        """Representation upload pass -> (features, new_batch_stats).
+
+        Reference runs this with the model left in train() mode
+        (test() flips back to train at ClientTrainer.py:552 and
+        extract_conv_feature never calls .eval()), so BN uses batch
+        statistics AND the running stats update persists — callers must
+        thread the returned batch_stats into the client state to track
+        the reference trajectory."""
+        feats, mut = self._apply(state.params, state.batch_stats, batch,
+                                 train=True, phase="features",
+                                 mutable=True)
+        return feats, mut.get("batch_stats", {})
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def test_step(self, state: EngineState, batch):
         """Eval-mode top-1/top-k on the local test set
-        (ClientTrainer.py:512-552)."""
-        out = self._apply(state.params, state.batch_stats, batch,
+        (ClientTrainer.py:512-552). The reference's custom ``is_train``
+        flag is still True during test, so its forward ReLU-clamps the
+        head weights before computing logits (resnet_client.py:192-199)
+        — clamp here too. (Its ``.data`` persistence is a no-op for the
+        trajectory: task_step re-clamps before every forward.)"""
+        out = self._apply(clamp_head_weights(dict(state.params)),
+                          state.batch_stats, batch,
                           train=False, phase="train")
         x1 = out[0]
         labels = batch["labels"]

@@ -161,13 +161,28 @@ class ServerEngine:
         })
 
     def load_models(self, path: str, state: EngineState) -> EngineState:
-        """Restore a save_models bundle into an initialized state."""
+        """Restore a save_models bundle into an initialized state,
+        including the optimizer moments (reference load_models restores
+        the optimizer state_dict, retrieval_trainer.py:160-171)."""
         from creamfl_tpu.utils.serialize import load_checkpoint
 
         blob = load_checkpoint(path)
+        opt_state = state.opt_state
+        if "opt_state" in blob:
+            # The saved tree mirrors the live optax state's structure;
+            # restore leaf-by-leaf so AdamP mu/nu/count (and the
+            # injected learning_rate) resume instead of resetting.
+            leaves, treedef = jax.tree.flatten(opt_state)
+            saved = jax.tree.leaves(blob["opt_state"])
+            if len(saved) == len(leaves):
+                opt_state = jax.tree.unflatten(
+                    treedef, [jnp.asarray(s).astype(jnp.asarray(l).dtype)
+                              if hasattr(l, "dtype") else s
+                              for s, l in zip(saved, leaves)])
         return state.replace(
             params=jax.tree.map(jnp.asarray, blob["params"]),
             batch_stats=jax.tree.map(jnp.asarray, blob["batch_stats"]),
+            opt_state=opt_state,
             step=blob.get("step", 0))
 
     def report_scores(self, step: int, scores: Dict, metadata=None,
@@ -221,15 +236,20 @@ class ServerEngine:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def extract_step(self, state: EngineState, images, captions, lengths,
-                     bert_mask):
-        """Train-mode BN feature pass (parity: MMFL.py:197-218).
+                     bert_mask, rng=None):
+        """Train-mode feature pass (parity: MMFL.py:197-218 — the model
+        is still in train() mode from the preceding server epoch, so BN
+        uses batch stats AND dropout draws fresh iid noise per batch;
+        callers pass a fresh ``rng`` each batch).
         Returns (img_feats, txt_feats, new_batch_stats)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         out, mut = self.model.apply(
             {"params": state.params["model"],
              "batch_stats": state.batch_stats},
             images, captions, lengths, bert_mask, train=True,
             mutable=["batch_stats"],
-            rngs={"dropout": jax.random.PRNGKey(0)})
+            rngs={"dropout": rng})
         return (out["image_features"], out["caption_features"],
                 mut.get("batch_stats", {}))
 

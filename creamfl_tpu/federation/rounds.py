@@ -324,8 +324,12 @@ class MMFL:
         for batch in self.datasets["pub_eval"]:
             images, captions, lengths, bert_mask = self._server_inputs(
                 batch)
+            # Fresh dropout noise per batch: the reference extracts in
+            # train() mode with iid dropout (MMFL.py:189-218).
+            self.key, sub = jax.random.split(self.key)
             img_f, txt_f, bs = self.server.extract_step(
-                self.server_state, images, captions, lengths, bert_mask)
+                self.server_state, images, captions, lengths, bert_mask,
+                sub)
             self.server_state = self.server_state.replace(batch_stats=bs)
             valid = np.asarray(batch["valid"])
             n_valid += suffix_valid(valid)
@@ -420,8 +424,11 @@ class MMFL:
     def _uni_client_reps(self, client: ClientHandle):
         parts, idx_parts = [], []
         for batch in self._pub("pub_eval", client.kind):
-            feats = client.engine.features_step(client.state,
-                                                _device_batch(batch))
+            feats, bs = client.engine.features_step(client.state,
+                                                    _device_batch(batch))
+            # Reference leaves the model in train() mode here, so the
+            # BN running-stat update persists (ClientTrainer.py:552).
+            client.state = client.state.replace(batch_stats=bs)
             valid = np.asarray(batch["valid"])
             parts.append(np.asarray(feats)[valid])
             idx_parts.append(np.asarray(batch["index"])[valid])
@@ -535,24 +542,9 @@ class MMFL:
                 for c, s in zip(members, states):
                     c.state = s
 
-        # Representations (stacked over the public eval loader).
-        states = [c.state for c in members]
-        if kind == "mm":
-            img_r, txt_r = S.stacked_mm_reps(engine, states,
-                                             self._pub("pub_eval", "mm"),
-                                             _device_batch,
-                                             sharding=sharding)
-            img_vecs.extend(img_r)
-            txt_vecs.extend(txt_r)
-        else:
-            reps, order = S.stacked_uni_reps(engine, states,
-                                             self._pub("pub_eval", kind),
-                                             _device_batch,
-                                             sharding=sharding)
-            assert np.array_equal(order, self.distill_index)
-            (img_vecs if kind == "img" else txt_vecs).extend(reps)
-
-        # Local test (uni clients).
+        # Local test BEFORE the rep sweep (reference order: run() tests
+        # at ClientTrainer.py:205, MMFL extracts reps afterwards — the
+        # rep sweep advances BN running stats, which test must not see).
         if kind != "mm":
             test_loader = self.datasets.get(f"{kind}_test")
             if test_loader is not None:
@@ -568,6 +560,24 @@ class MMFL:
                         self.logger.log(
                             f"client {c.client_idx} ({kind}) "
                             f"top1 {100*c1/n:.2f} topk {100*ck/n:.2f}")
+
+        # Representations (stacked over the public eval loader).
+        states = [c.state for c in members]
+        if kind == "mm":
+            img_r, txt_r = S.stacked_mm_reps(engine, states,
+                                             self._pub("pub_eval", "mm"),
+                                             _device_batch,
+                                             sharding=sharding)
+            img_vecs.extend(img_r)
+            txt_vecs.extend(txt_r)
+        else:
+            reps, order, states = S.stacked_uni_reps(
+                engine, states, self._pub("pub_eval", kind),
+                _device_batch, sharding=sharding)
+            for c, s in zip(members, states):
+                c.state = s
+            assert np.array_equal(order, self.distill_index)
+            (img_vecs if kind == "img" else txt_vecs).extend(reps)
 
     # -- distillation ---------------------------------------------------
     def _distill(self, img_vecs, txt_vecs):

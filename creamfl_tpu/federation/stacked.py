@@ -355,45 +355,61 @@ def stacked_mm_contrast_epoch(engine, states: Sequence[EngineState],
 
 
 @functools.lru_cache(maxsize=None)
-def _feat_prog(engine, lowering: str):
+def _feat_prog(engine, lowering: str, uni: bool):
+    """Uni rep extraction persists the BN running-stat update
+    (features_step returns (feats, new_batch_stats) — reference leaves
+    the model in train() mode for this sweep), so the program carries
+    the stacked state. mm features are eval-mode and stateless."""
+    if uni:
+        def one(st, b):
+            feats, bs = engine.features_step(st, b)
+            return feats, st.replace(batch_stats=bs)
+
+        return jax.jit(_client_map(one, (0, None), lowering))
     return jax.jit(_client_map(engine.features_step, (0, None), lowering))
 
 
 def _stacked_feats(engine, states, pub_loader, device_batch_fn, sharding,
-                   collect_idx: bool):
+                   uni: bool):
     """Shared sweep for rep extraction: [list of per-batch stacked
-    features], optional valid-row dataset indices, valid count."""
+    features], valid-row dataset indices (uni), valid count, and the
+    final stacked states (BN stats advance during the uni sweep)."""
     stacked = _place(stack_states(list(states)), sharding)
-    vfeat = _feat_prog(engine, _lowering_for(sharding))
+    vfeat = _feat_prog(engine, _lowering_for(sharding), uni)
     parts, idx_parts, n_valid = [], [], 0
     for batch in pub_loader:
-        feats = vfeat(stacked, device_batch_fn(batch))
+        out = vfeat(stacked, device_batch_fn(batch))
+        if uni:
+            feats, stacked = out
+        else:
+            feats = out
         valid = np.asarray(batch["valid"])
         n_valid += _suffix_valid(valid)
         parts.append(feats)
-        if collect_idx:
+        if uni:
             idx_parts.append(np.asarray(batch["index"])[valid])
-    return parts, idx_parts, n_valid
+    return parts, idx_parts, n_valid, stacked
 
 
 def stacked_uni_reps(engine, states: Sequence[EngineState], pub_loader,
-                     device_batch_fn,
-                     sharding=None) -> Tuple[jnp.ndarray, np.ndarray]:
+                     device_batch_fn, sharding=None
+                     ) -> Tuple[jnp.ndarray, np.ndarray,
+                                List[EngineState]]:
     """[C, N, d] representations (device-resident — con_w consumes them
     on device; per-batch host fetches would cost a transfer round-trip
-    each) + [N] dataset indices."""
-    parts, idx_parts, n_valid = _stacked_feats(
-        engine, states, pub_loader, device_batch_fn, sharding,
-        collect_idx=True)
+    each) + [N] dataset indices + the post-sweep client states (BN
+    running stats persist, ClientTrainer.py:552/584)."""
+    parts, idx_parts, n_valid, stacked = _stacked_feats(
+        engine, states, pub_loader, device_batch_fn, sharding, uni=True)
     reps = jnp.concatenate(parts, axis=1)[:, :n_valid]
-    return reps, np.concatenate(idx_parts)
+    return (reps, np.concatenate(idx_parts),
+            unstack_states(stacked, len(states)))
 
 
 def stacked_mm_reps(engine, states: Sequence[EngineState], pub_loader,
                     device_batch_fn, sharding=None):
-    parts, _, n_valid = _stacked_feats(
-        engine, states, pub_loader, device_batch_fn, sharding,
-        collect_idx=False)
+    parts, _, n_valid, _ = _stacked_feats(
+        engine, states, pub_loader, device_batch_fn, sharding, uni=False)
     img_parts = [fi for fi, _ in parts]
     txt_parts = [ft for _, ft in parts]
     return (jnp.concatenate(img_parts, axis=1)[:, :n_valid],

@@ -67,11 +67,42 @@ def test_uni_contrast_step_runs_and_descends(txt_engine, txt_state):
 
 def test_uni_features_normalized(txt_engine, txt_state):
     state, batch = txt_state
-    feats = txt_engine.features_step(state,
-                                     {k: jnp.asarray(v)
-                                      for k, v in batch.items()})
+    feats, _bs = txt_engine.features_step(state,
+                                          {k: jnp.asarray(v)
+                                           for k, v in batch.items()})
     np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=1),
                                1.0, rtol=1e-4)
+
+
+def test_uni_mlp_local_init_and_features():
+    """--mlp_local adds a features-phase-only MLPHead; init must create
+    its params (lazy flax init would otherwise crash the first
+    contrast/features apply) and the BN rep sweep must persist stats."""
+    import types
+
+    from creamfl_tpu.engine.client_uni import UniClientEngine
+
+    args = types.SimpleNamespace(img_model_local="resnet10",
+                                 feature_dim=8, mlp_local=True,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = UniClientEngine("img", num_class=10, args=args,
+                             vocab_size=20)
+    batch = {"images": np.random.default_rng(0).normal(
+        size=(4, 16, 16, 3)).astype(np.float32),
+        "labels": np.zeros((4,), np.int32)}
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    assert "head_proj" in state.params, sorted(state.params)
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    feats, bs = engine.features_step(state, dev)
+    # head_proj is a fixed 512->512 MLP in the reference regardless of
+    # embed_dim (resnet_client.py:130-136), so mlp_local features are
+    # 512-dim.
+    assert feats.shape == (4, 512)
+    # BN running stats moved (train-mode sweep persists the update).
+    before = jax.tree.leaves(state.batch_stats)
+    after = jax.tree.leaves(bs)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
 
 
 def test_server_save_load_models_roundtrip(tmp_path):
@@ -96,6 +127,20 @@ def test_server_save_load_models_roundtrip(tmp_path):
     b = jax.tree.leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    # Optimizer moments resume too (reference load_models restores the
+    # optimizer state_dict, retrieval_trainer.py:160-171): advance one
+    # step so mu/nu/count are non-trivial, save, restore, compare.
+    images = jnp.asarray(batch["images"])
+    captions, lengths, bert_mask = engine._text_inputs(batch)
+    stepped, _ = engine.train_step(state, images, captions, lengths,
+                                   bert_mask, jax.random.PRNGKey(1))
+    engine.save_models(path, stepped, metadata={})
+    restored = engine.load_models(path, state2)
+    for x, y in zip(jax.tree.leaves(stepped.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_allclose(np.asarray(x, np.float64),
+                                   np.asarray(y, np.float64), rtol=1e-6)
 
 
 def test_server_distill_step_moves_towards_targets():
