@@ -50,8 +50,12 @@ class CocoCaptionsCap:
         self.vocab = vocab
         self.train = train
         self.max_len = max_len
-        self.caption_drop_prob = caption_drop_prob if train else 0.0
-        self.random_erasing_prob = random_erasing_prob if train else 0.0
+        # NOT gated on ``train``: the reference passes caption_drop /
+        # random_erasing to the eval subset too (load_datasets.py:80-89
+        # hands tr_* probs to train_subset_eval_50000; train only
+        # selects RandomResizedCrop vs Resize+CenterCrop).
+        self.caption_drop_prob = caption_drop_prob
+        self.random_erasing_prob = random_erasing_prob
         self.bert_tokenizer = bert_tokenizer
         self.bert_max_len = bert_max_len
         self.rng = random.Random(seed)

@@ -73,20 +73,38 @@ class F30kCaptionsCap:
             with open(partition_pickle, "rb") as f:
                 mapping = pickle.load(f)
             return mapping[client]
-        # Regenerate: 150 shards dealt round-robin to 15 users
-        # (reference flickr30k.py:79-102 non-IID shard scheme).
-        n = len(self.pairs)
-        n_users, n_shards = 15, 150
+        mapping = self._regenerate_partition(len(self.pairs))
+        if partition_pickle:
+            # Reference writes the regenerated mapping back
+            # (flickr30k.py:102) so every client reads ONE draw.
+            with open(partition_pickle, "wb") as f:
+                pickle.dump(mapping, f)
+        return mapping[client]
+
+    @staticmethod
+    def _regenerate_partition(n: int, n_users: int = 15,
+                              n_shards: int = 150):
+        """Reference non-IID scheme (flickr30k.py:79-103): each user
+        draws ``n_shards/n_users`` shards via np.random.choice without
+        replacement; the ``n % n_shards`` leftover pairs concatenate
+        onto the LAST user (the reference's leaked loop variable)."""
         shard_size = n // n_shards
-        rng = random.Random(2021)
-        shard_ids = list(range(n_shards))
-        rng.shuffle(shard_ids)
-        per_user = n_shards // n_users
-        mine = shard_ids[client * per_user:(client + 1) * per_user]
-        out = []
-        for s in mine:
-            out.extend(range(s * shard_size, (s + 1) * shard_size))
-        return out
+        idx_shard = list(range(n_shards))
+        idxs = np.arange(n_shards * shard_size)
+        users = {}
+        for i in range(n_users):
+            rand_set = set(np.random.choice(
+                idx_shard, n_shards // n_users, replace=False))
+            idx_shard = list(set(idx_shard) - rand_set)
+            arr = np.array([], dtype=int)
+            for rand in rand_set:
+                arr = np.concatenate(
+                    (arr, idxs[rand * shard_size:(rand + 1) * shard_size]))
+            users[i] = arr
+        leftover = np.arange(n_shards * shard_size, n)
+        users[n_users - 1] = np.concatenate([users[n_users - 1],
+                                             leftover])
+        return users
 
     def __len__(self):
         return len(self.pairs)

@@ -106,11 +106,14 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": True,
+        # Keep the trailing partial public batch like the reference
+        # (see the real-data builder below); ragged final shape costs
+        # one extra compile per program.
         "pub_train": _caption_loader(pub_ds, pub, batch_size=pub_bs,
-                                     shuffle=True, drop_last=True,
-                                     seed=args.seed),
+                                     shuffle=True, drop_last=False,
+                                     pad_last=False, seed=args.seed),
         "pub_eval": _caption_loader(pub_ds, pub, batch_size=pub_ebs,
-                                    shuffle=False, pad_last=True),
+                                    shuffle=False, pad_last=False),
         "test": _caption_loader(test_ds, test,
                                 batch_size=min(bs, retrieval_test_size),
                                 shuffle=False, pad_last=True),
@@ -171,10 +174,13 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                                     seed=100 + i,
                                     with_images=not device_images)
             for i in range(args.num_mm_clients)]
+        # pad_last + pair masking in local_step: reference DataLoaders
+        # keep the trailing partial batch (drop_last=False).
         datasets["mm_clients"] = [
             _caption_loader(ds, _maybe_cache(ds),
                             batch_size=min(bs, mm_n), shuffle=True,
-                            drop_last=True, seed=args.seed)
+                            drop_last=False, pad_last=True,
+                            seed=args.seed)
             for ds in mm_datasets]
     return datasets
 
@@ -233,11 +239,15 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
     te_ids = _ids("coco_test_ids.npy")
 
     def coco(train, ids=train_ids, extra=restval_ids):
+        # Both pub splits keep caption-drop 0.1 + random-erasing 0.2:
+        # the reference passes the train probs to train_subset_eval too
+        # (load_datasets.py:80-89), so con_w weights / distill targets /
+        # client reps are computed on augmented inputs every round.
         return CocoCaptionsCap(
             image_root, train_ann, ids=ids, extra_ann_path=val_ann,
             extra_ids=extra, train=train, vocab=vocab,
-            caption_drop_prob=0.1 if train else 0.0,
-            random_erasing_prob=0.2 if train else 0.0,
+            caption_drop_prob=0.1,
+            random_erasing_prob=0.2,
             bert_tokenizer=bert_tok)
 
     subset_idx = load_or_create_subset_idx("coco_subset_idx_file")
@@ -270,9 +280,14 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": False,
+        # Reference DataLoaders keep the trailing partial public batch
+        # (drop_last defaults False, and the eval subset's last batch is
+        # bare, not padded — load_datasets.py:69-89); one extra
+        # compiled shape variant per program covers it.
         "pub_train": _loader(pub_train, pub_bs, shuffle=True,
-                                 drop_last=True, seed=args.seed),
-        "pub_eval": _loader(pub_eval, pub_bs * 2, pad_last=True),
+                             drop_last=False, pad_last=False,
+                             seed=args.seed),
+        "pub_eval": _loader(pub_eval, pub_bs * 2, pad_last=False),
         "test": _loader(test_set, 8, pad_last=True),
         "img_num_class": 100,
         "txt_num_class": 4,
@@ -320,6 +335,9 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
                                 vocab=vocab, caption_drop_prob=0.1,
                                 random_erasing_prob=0.2, client=i,
                                 partition_pickle=pp),
-                128, shuffle=True, drop_last=True, seed=args.seed)
+                # pad_last + MCSoft pair masking == the reference's bare
+                # trailing partial batch (drop_last defaults False).
+                128, shuffle=True, drop_last=False, pad_last=True,
+                seed=args.seed)
             for i in range(args.num_mm_clients)]
     return datasets

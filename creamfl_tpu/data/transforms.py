@@ -35,11 +35,17 @@ def _to_pil(img):
 
 
 def _resize(img, size: int):
-    """Resize shorter side to ``size`` (torchvision Resize(int))."""
+    """Resize shorter side to ``size`` (torchvision Resize(int) —
+    torchvision defaults to BILINEAR; bare PIL .resize() would use
+    BICUBIC and shift every pixel vs the reference preprocessing)."""
+    from PIL import Image
+
     w, h = img.size
     if w <= h:
-        return img.resize((size, max(1, round(h * size / w))))
-    return img.resize((max(1, round(w * size / h)), size))
+        return img.resize((size, max(1, round(h * size / w))),
+                          resample=Image.BILINEAR)
+    return img.resize((max(1, round(w * size / h)), size),
+                      resample=Image.BILINEAR)
 
 
 def normalize(arr: np.ndarray, mean=IMAGENET_MEAN,
@@ -61,8 +67,11 @@ def random_resized_crop(img, size: int, rng: random.Random,
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw)
             top = rng.randint(0, h - ch)
-            return img.resize((size, size), box=(left, top, left + cw,
-                                                 top + ch))
+            from PIL import Image
+
+            # torchvision RandomResizedCrop defaults to BILINEAR too.
+            return img.resize((size, size), resample=Image.BILINEAR,
+                              box=(left, top, left + cw, top + ch))
     # Fallback: center crop (torchvision semantics).
     return center_crop(_resize(img, size), size)
 

@@ -106,13 +106,18 @@ class MMClientEngine:
     @functools.partial(jax.jit, static_argnums=(0,))
     def local_step(self, state: EngineState, batch, dropout_rng
                    ) -> Tuple[EngineState, Dict[str, jnp.ndarray]]:
+        # Pairs touching repeat-padded rows are zeroed, matching the
+        # reference's bare torch partial batch (drop_last=False).
+        valid = batch.get("valid")
+
         def loss_fn(params):
             out, mut = self._forward(params["model"], state.batch_stats,
                                      batch, train=True, mutable=True,
                                      rng=dropout_rng)
             loss, ldict = mcsoft_contrastive_loss(
                 params["criterion"], out["image_features"],
-                out["caption_features"], self.criterion_config)
+                out["caption_features"], self.criterion_config,
+                valid=valid)
             return loss, (mut.get("batch_stats", {}), ldict)
 
         (loss, (batch_stats, ldict)), grads = jax.value_and_grad(

@@ -133,12 +133,17 @@ class UniClientEngine:
         clamp applied *before* the forward (reference semantics)."""
         clamped = clamp_head_weights(dict(state.params))
         labels = batch["labels"]
+        # Pad-aware loss: repeat-padded final batches (static shapes)
+        # compute the same masked mean the reference gets from its bare
+        # torch partial batch (DataLoader drop_last=False).
+        valid = batch.get("valid")
 
         def loss_fn(params):
             out = self._apply(params, state.batch_stats, batch,
                               train=True, phase="train", mutable=True)
             (x1, _x2, w1, _w2), mut = out
-            task = margin_softmax_loss(x1, labels, self.margin)
+            task = margin_softmax_loss(x1, labels, self.margin,
+                                       valid=valid)
             center = weight_orthogonality_loss(w1)
             return task + 0.5 * center, (mut.get("batch_stats", {}), x1)
 
@@ -151,9 +156,13 @@ class UniClientEngine:
         adj = logits - self.margin * jax.nn.one_hot(labels,
                                                     logits.shape[-1])
         top5 = jax.lax.top_k(adj, min(5, adj.shape[-1]))[1]
-        correct1 = jnp.mean((top5[:, 0] == labels).astype(jnp.float32))
-        correct5 = jnp.mean(jnp.any(top5 == labels[:, None],
-                                    axis=1).astype(jnp.float32))
+        w = (jnp.ones_like(labels, jnp.float32) if valid is None
+             else valid.astype(jnp.float32))
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        correct1 = jnp.sum(
+            (top5[:, 0] == labels).astype(jnp.float32) * w) / denom
+        correct5 = jnp.sum(jnp.any(top5 == labels[:, None],
+                                   axis=1).astype(jnp.float32) * w) / denom
         metrics = {"loss": loss, "top1": correct1 * 100,
                    "top5": correct5 * 100}
         return EngineState(params=params, batch_stats=batch_stats,

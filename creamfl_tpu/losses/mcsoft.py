@@ -98,11 +98,15 @@ def mcsoft_contrastive_loss(
     config: MCSoftContrastiveConfig = MCSoftContrastiveConfig(),
     image_logsigma: jnp.ndarray = None,
     caption_logsigma: jnp.ndarray = None,
+    valid: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (loss, loss_dict) like the reference criterion forward.
 
     Features may be [N, d] or [N, K, d]; K>1 multi-embeddings reduce over
     the K^2 sample pairs with logsumexp exactly as probemb.py:83-86.
+    ``valid`` ([N] bool/float) zeroes every pair touching a padded row,
+    so a repeat-padded final batch yields the same sum the reference
+    computes over its bare torch partial batch.
     """
     img = image_features
     txt = caption_features
@@ -132,6 +136,9 @@ def mcsoft_contrastive_loss(
         per_pair = (jnp.log(jnp.float32(k * k))
                     - jax.scipy.special.logsumexp(inner, axis=-1))
 
+    if valid is not None:
+        w = valid.astype(per_pair.dtype)
+        per_pair = per_pair * (w[:, None] * w[None, :])
     eye = jnp.eye(n, dtype=bool)
     pos_loss = jnp.sum(jnp.where(eye, per_pair, 0.0))
     neg_loss = jnp.sum(jnp.where(eye, 0.0, per_pair))

@@ -63,20 +63,44 @@ int32_t vocab_lookup(void* handle, const char* word) {
 // ---------------------------------------------------------------------
 
 static bool is_wordchar(unsigned char c) {
-    return std::isalnum(c) != 0;
+    // UTF-8 continuation/lead bytes (>= 0x80) stay inside words so
+    // multibyte letters ("café") survive the byte-wise scan like they
+    // do under nltk.
+    return std::isalnum(c) != 0 || c >= 0x80;
 }
 
-// Treebank-style split of one lowercased sentence into tokens.
-// Alphanumeric runs stay together except trailing contractions; each
-// punctuation byte is its own token. Contractions: n't and 's 're 've
-// 'll 'd 'm split off as separate tokens (nltk TreebankWordTokenizer
-// behavior for the caption-frequent cases).
+// Treebank-style split of one lowercased sentence into tokens,
+// matching nltk TreebankWordTokenizer on the caption-frequent cases:
+//  - hyphenated words stay whole ("t-shirt", "state-of-the-art");
+//  - internal periods attach ("u.s."); only the string-final period
+//    splits off (Treebank's end-of-sentence rule); "..." is one token;
+//  - '"' becomes `` (opening) or '' (closing) like Treebank;
+//  - digit groups keep , and . ("1,000", "3.5");
+//  - contractions n't 's 're 've 'll 'd 'm split off.
+static bool rest_is_space(const std::string& text, size_t j) {
+    for (; j < text.size(); ++j)
+        if (!std::isspace((unsigned char)text[j])) return false;
+    return true;
+}
+
 static void tokenize_one(const std::string& text,
                          std::vector<std::string>& out) {
     size_t i = 0, n = text.size();
+    bool prev_sep = true;  // for quote direction
     while (i < n) {
         unsigned char c = text[i];
-        if (std::isspace(c)) { ++i; continue; }
+        if (std::isspace(c)) { ++i; prev_sep = true; continue; }
+        if (c == '"') {
+            out.emplace_back(prev_sep ? "``" : "''");
+            ++i; prev_sep = false; continue;
+        }
+        if (c == '.' && i + 2 < n && text[i + 1] == '.'
+            && text[i + 2] == '.') {
+            size_t j = i;
+            while (j < n && text[j] == '.') ++j;
+            out.push_back(text.substr(i, j - i));
+            i = j; prev_sep = false; continue;
+        }
         if (is_wordchar(c)) {
             size_t j = i;
             std::string word;
@@ -87,6 +111,19 @@ static void tokenize_one(const std::string& text,
                          && is_wordchar((unsigned char)text[j + 1])) {
                     // Apostrophe inside a word: candidate contraction.
                     word.push_back('\''); ++j;
+                } else if (cj == '-' && j + 1 < n
+                           && is_wordchar((unsigned char)text[j + 1])) {
+                    word.push_back('-'); ++j;  // hyphenated compound
+                } else if (cj == '.'
+                           && !(j + 1 < n && text[j + 1] == '.')
+                           && !rest_is_space(text, j + 1)) {
+                    word.push_back('.'); ++j;  // "u.s." mid-sentence
+                } else if (cj == ',' && j + 1 < n
+                           && std::isdigit((unsigned char)text[j + 1])
+                           && !word.empty()
+                           && std::isdigit(
+                                  (unsigned char)word.back())) {
+                    word.push_back(','); ++j;  // "1,000"
                 } else break;
             }
             i = j;
@@ -109,9 +146,11 @@ static void tokenize_one(const std::string& text,
                 // vocab decides unk-ness, matching python fallback).
                 out.push_back(word);
             }
+            prev_sep = false;
         } else {
             out.emplace_back(1, (char)c);
             ++i;
+            prev_sep = (c == '(' || c == '[' || c == '{');
         }
     }
 }
@@ -152,13 +191,16 @@ void tokenize_batch(void* vocab_handle, const char** texts, int n,
         }
         int32_t* row = out_ids + (size_t)b * max_len;
         std::memset(row, 0, sizeof(int32_t) * max_len);
+        // Mirror the Python path's caption_to_ids(...)[:max_len] slice:
+        // [<start>, body..., <end>] truncated — an overlong body keeps
+        // its tokens and the <end> falls off, identical across paths.
         int32_t len = 0;
         row[len++] = v->start;
         for (int32_t id : ids) {
-            if (len >= max_len - 1) break;
+            if (len >= max_len) break;
             row[len++] = id;
         }
-        row[len++] = v->end;
+        if (len < max_len) row[len++] = v->end;
         out_lengths[b] = len;
     }
 }

@@ -107,3 +107,43 @@ def test_inter_modal_matches_reference_math(rng):
     logits = torch.tensor((f @ g.T) / 0.5)
     theirs = float(F.cross_entropy(logits, torch.tensor(idx)))
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_margin_ce_masked_equals_bare():
+    """Repeat-padded batch + valid mask == bare partial batch (the
+    reference trains torch partial batches; we keep static shapes)."""
+    import numpy as np
+
+    from creamfl_tpu.losses.classification import margin_softmax_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(5, 7)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 7, size=(5,)), jnp.int32)
+    bare = margin_softmax_loss(logits[:3], labels[:3])
+    padded_logits = jnp.concatenate([logits[:3], logits[:2]])
+    padded_labels = jnp.concatenate([labels[:3], labels[:2]])
+    valid = jnp.asarray([1, 1, 1, 0, 0], jnp.float32)
+    masked = margin_softmax_loss(padded_logits, padded_labels,
+                                 valid=valid)
+    np.testing.assert_allclose(float(masked), float(bare), rtol=1e-6)
+
+
+def test_mcsoft_pair_mask_equals_bare():
+    import numpy as np
+
+    from creamfl_tpu.losses.mcsoft import (MCSoftContrastiveConfig,
+                                           init_mcsoft_params,
+                                           mcsoft_contrastive_loss)
+
+    rng = np.random.default_rng(1)
+    cfg = MCSoftContrastiveConfig()
+    params = init_mcsoft_params(cfg)
+    img = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    txt = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    bare, _ = mcsoft_contrastive_loss(params, img[:4], txt[:4], cfg)
+    pad_img = jnp.concatenate([img[:4], img[:2]])
+    pad_txt = jnp.concatenate([txt[:4], txt[:2]])
+    valid = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    masked, _ = mcsoft_contrastive_loss(params, pad_img, pad_txt, cfg,
+                                        valid=valid)
+    np.testing.assert_allclose(float(masked), float(bare), rtol=1e-5)

@@ -79,18 +79,35 @@ def test_stacked_mm_task_epoch_matches_sequential(rng, lowering):
         engine, states, [_ListLoader(b) for b in loaders],
         lambda b: b, mm=True, epoch_keys=eks, sharding=sharding)
 
-    # scan is the sharp key-parity check: per-client math is identical
-    # ops, residual diff is pure fusion noise (~1e-6 mean). The vmap
-    # (grouped-conv) lowering legitimately differs more: a control run
-    # with IDENTICAL keys (scan vs vmap) reaches ~1e-3 max / ~1e-4 mean
-    # after 3 AdamP+BN steps at bs2 — the same magnitude observed here —
-    # so the looser vmap bound still rules out a key mismatch, which
-    # would diverge at the full update magnitude.
-    tol_max, tol_mean = ((1e-3, 1e-5) if lowering == "scan"
-                         else (5e-3, 5e-4))
+    # Trajectory bound: fp fusion noise through 3 AdamP+BN steps at bs2
+    # is chaotic — measured means wander 1e-6..6e-5 across compile
+    # contexts for scan, ~1e-4 for the grouped-conv vmap lowering (an
+    # identical-keys scan-vs-vmap control reproduces the same envelope).
+    # Anything structural (wrong batch routing, broken masking/replay)
+    # lands decades higher; exact key parity is asserted bitwise in
+    # test_epoch_key_derivation_matches_sequential below.
     for a, b in zip(seq, got):
         for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
             diff = np.abs(np.asarray(x, np.float64)
                           - np.asarray(y, np.float64))
-            assert diff.max() < tol_max, diff.max()
-            assert diff.mean() < tol_mean, diff.mean()
+            assert diff.max() < 5e-3, diff.max()
+            assert diff.mean() < 5e-4, diff.mean()
+
+
+def test_epoch_key_derivation_matches_sequential():
+    """The stacked program folds ``fold_in(epoch_key, step)`` in-jit;
+    the sequential oracle computes the same expression eagerly. Assert
+    the streams are BITWISE identical per (client, step) — exact, and
+    unlike the fp trajectory it fails loudly on any derivation skew."""
+    root = jax.random.PRNGKey(7)
+    idxs = jnp.asarray([10, 11, 12, 13], jnp.int32)
+    eks = _client_epoch_keys(root, 2, idxs, 0)
+    fold = jax.jit(lambda k, s: jax.random.fold_in(k, s))
+    for c in range(4):
+        seq_ek = _client_epoch_keys(root, 2, idxs[c:c + 1], 0)[0]
+        for t in range(3):
+            seq_key = jax.random.fold_in(seq_ek, t)
+            stk_key = fold(eks[c], np.int32(t))
+            np.testing.assert_array_equal(
+                np.asarray(jax.random.key_data(seq_key)),
+                np.asarray(jax.random.key_data(stk_key)))

@@ -81,3 +81,38 @@ def test_native_pad_collate(lib):
     assert lens.tolist() == [3, 1, 8]
     assert out[0].tolist() == [1, 2, 3, 0, 0, 0, 0, 0]
     assert out[2].tolist() == list(range(8))
+
+
+def test_native_tokenize_treebank_tricky_cases(lib):
+    """Hyphenated compounds, quotes, unicode, abbreviations, ellipsis
+    and truncation must match the Python Treebank path token-for-token
+    (nltk keeps 't-shirt' whole and rewrites double quotes)."""
+    from creamfl_tpu.data.tokenize import caption_to_ids, treebank_tokenize
+
+    texts = [
+        "A man in a t-shirt.",
+        'he said "hello there" loudly',
+        "a café with nice chairs",
+        "state-of-the-art u.s. design, really...",
+        "it's the dog's toy",
+        "over 1,000 people",
+    ]
+    v = Vocabulary()
+    for tok in ("<pad>", "<start>", "<end>", "<unk>"):
+        v.add_word(tok)
+    for t in texts:
+        for w in treebank_tokenize(t):
+            v.add_word(w)
+    nv = native.NativeVocab(v)
+    ids, lens = nv.tokenize_batch(texts, max_len=24)
+    for i, t in enumerate(texts):
+        expected = caption_to_ids(t, v)
+        got = ids[i, :lens[i]].tolist()
+        assert got == expected, (t, got, expected)
+
+    # Truncation parity: overlong body keeps tokens, <end> falls off
+    # (caption_to_ids(...)[:max_len] semantics on both paths).
+    long = " ".join(["man"] * 30)
+    ids, lens = nv.tokenize_batch([long], max_len=8)
+    expected = caption_to_ids(long, v)[:8]
+    assert ids[0, :lens[0]].tolist() == expected
