@@ -212,6 +212,13 @@ def _enable_compile_cache():
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT cache artifacts encode the compile host's ISA
+            # extensions and SEGFAULT on (de)serialize after a VM
+            # live-migration to a host missing them (tests/conftest.py
+            # caps codegen at AVX2 for the test cache instead); skip
+            # persistence for ad-hoc CPU runs.
+            return
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_CACHE_DIR",
                                          "/tmp/jax_cache"))
