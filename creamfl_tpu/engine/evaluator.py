@@ -83,6 +83,28 @@ def best_positive_ranks_sharded(q_features, g_features, q_labels,
 
     Zero cross-device traffic until the final [n_q] gather.
     """
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    n_q = q_features.shape[0]
+    # Pad to a multiple of n_dev*block_size so every shard runs the
+    # plain blocked reduction at exactly block_size.
+    pad = (-n_q) % (n_dev * block_size)
+    qf = jnp.pad(jnp.asarray(q_features), ((0, pad), (0, 0)))
+    ql = jnp.pad(jnp.asarray(q_labels), (0, pad))
+    g = jnp.asarray(g_features)
+    gl = jnp.asarray(g_labels)
+
+    # Padding makes the per-shard length an exact multiple of
+    # block_size, so each device runs the plain blocked reduction.
+    prog = _sharded_rank_prog(mesh, tuple(axes), block_size)
+    ranks = prog(qf, g, ql, gl)
+    return ranks[:n_q]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_rank_prog(mesh, axes, block_size: int):
+    """Cached jitted shard_map ranking program per (mesh, axes, block):
+    rebuilding the wrapper per call re-traced + recompiled every
+    evaluate_recall (~12 calls per eval round)."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -90,27 +112,21 @@ def best_positive_ranks_sharded(q_features, g_features, q_labels,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
-    n_q = q_features.shape[0]
-    pad = (-n_q) % (n_dev * block_size)
-    qf = jnp.pad(jnp.asarray(q_features), ((0, pad), (0, 0)))
-    ql = jnp.pad(jnp.asarray(q_labels), (0, pad))
-    g = jnp.asarray(g_features)
-    gl = jnp.asarray(g_labels)
-    block = min(block_size, qf.shape[0] // n_dev)
-
     def per_device(qf_l, g_l, ql_l, gl_l):
         return best_positive_ranks(qf_l, g_l, ql_l, gl_l,
-                                   block_size=block)
+                                   block_size=block_size)
 
-    ranks = jax.jit(shard_map(
+    return jax.jit(shard_map(
         per_device, mesh=mesh,
         in_specs=(P(axes), P(), P(axes), P()),
-        out_specs=P(axes)))(qf, g, ql, gl)
-    return ranks[:n_q]
+        out_specs=P(axes)))
 
 
 def _recall_scores(ranks: np.ndarray) -> Dict[str, float]:
+    if len(ranks) == 0:
+        raise ValueError("empty eval set: no valid query features "
+                         "reached evaluate_recall")
+
     def recall_at(k):
         return 100.0 * float(np.sum(ranks < k)) / len(ranks)
 
@@ -153,21 +169,26 @@ class RetrievalEvaluator:
         self.iid_to_cls = dict(iid_to_cls) if iid_to_cls else None
         self._sims_fn = None
         if eval_method == "matching_prob":
-            # Rank by PCME match probability (reference
-            # eval_coco.py:54-72 MatchingProbModule); requires the
-            # criterion's learnable shift/negative_scale.
-            from creamfl_tpu.losses.mcsoft import match_prob
-
             assert criterion_params is not None
-
-            def _sims(q_blk, gallery, _cp=criterion_params):
-                return match_prob(_cp, q_blk, gallery)
-
-            # A def'd closure (hashable by id, stable per evaluator)
-            # keeps the jit static-arg cache happy.
-            self._sims_fn = _sims
+            self.set_criterion_params(criterion_params)
         elif eval_method != "matmul":
             raise ValueError(f"unknown eval_method {eval_method!r}")
+
+    def set_criterion_params(self, criterion_params):
+        """(Re)build the matching_prob scorer (reference
+        eval_coco.py:54-72 MatchingProbModule) with the criterion's
+        learnable shift/negative_scale. The scorer closure is a jit
+        STATIC arg, so its captured params are baked in at first trace —
+        call this again after further criterion training so the fresh
+        closure identity forces a retrace with the new values."""
+        from creamfl_tpu.losses.mcsoft import match_prob
+
+        def _sims(q_blk, gallery, _cp=criterion_params):
+            return match_prob(_cp, q_blk, gallery)
+
+        # A def'd closure (hashable by id, stable per evaluator) keeps
+        # the jit static-arg cache happy.
+        self._sims_fn = _sims
 
     # -- feature extraction (host-side dedup/alignment) ----------------
     def extract_features(self, loader, extract_fn: Callable) -> Dict:

@@ -17,9 +17,17 @@ _FORCE = None  # None = auto; "pallas" | "xla" for tests/debug
 
 
 def set_backend(name):
-    """Force 'pallas' / 'xla' / None (auto)."""
+    """Force 'pallas' / 'xla' / None (auto).
+
+    The branch below is taken at TRACE time, so the choice is baked
+    into every caller's jit cache (contrast_step etc.). Clearing jax's
+    caches here makes the switch actually take effect for same-shape
+    calls — without it an A/B backend comparison would compare a cached
+    program against itself."""
     global _FORCE
-    _FORCE = name
+    if name != _FORCE:
+        _FORCE = name
+        jax.clear_caches()
 
 
 def _pallas_active() -> bool:

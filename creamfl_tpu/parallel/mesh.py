@@ -31,15 +31,32 @@ def init_distributed(coordinator: Optional[str] = None,
     """Multi-host initialization (DCN). On a single host this is a
     no-op; on a pod slice call once per host before building the mesh —
     jax.distributed wires the cross-host collectives so the same
-    pjit-ted programs span hosts (ICI within a slice, DCN across)."""
+    pjit-ted programs span hosts (ICI within a slice, DCN across).
+
+    Either pass all of (coordinator, num_processes, process_id) —
+    tests/distributed_worker.py does — or none of them, in which case
+    initialization is attempted only inside an auto-detectable cluster
+    environment (TPU pod / SLURM, where jax.distributed.initialize
+    resolves everything itself; plain hosts no-op)."""
+    import os
+
     import jax
 
-    if num_processes is None and "JAX_COORDINATOR" not in __import__(
-            "os").environ and coordinator is None:
+    explicit = (coordinator, num_processes, process_id)
+    if any(a is not None for a in explicit):
+        if any(a is None for a in explicit):
+            raise ValueError(
+                "init_distributed needs coordinator, num_processes AND "
+                f"process_id together; got {explicit!r}")
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
         return
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    # Auto mode: only meaningful where jax can discover the cluster.
+    if any(k in os.environ for k in ("COORDINATOR_ADDRESS",
+                                     "SLURM_JOB_ID", "TPU_WORKER_ID",
+                                     "CLOUD_TPU_TASK_ID")):
+        jax.distributed.initialize()
 
 
 def make_mesh(n_client: Optional[int] = None,
