@@ -175,12 +175,54 @@ def bench_conw(on_tpu: bool):
     return dt
 
 
+def _device_responsive(timeout_s: float = 90.0) -> bool:
+    """True iff a trivial dispatch+fetch completes within the timeout.
+
+    The remote-TPU tunnel can wedge (every dispatch blocks forever);
+    without this guard the harness would hang instead of emitting its
+    one JSON line. Probed on a daemon thread so a hung fetch can't
+    stall us."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            float(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
+def _force_cpu():
+    import jax as _jax
+    from jax._src import xla_bridge
+
+    _jax.config.update("jax_platforms", "cpu")
+    if xla_bridge.backends_are_initialized():
+        xla_bridge._clear_backends()
+        _jax.clear_caches()
+
+
 def main():
     from creamfl_tpu.main import _enable_compile_cache
 
     _enable_compile_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
+    device_unresponsive = False
+    if on_tpu and not _device_responsive():
+        # Wedged tunnel: fall back to the CPU smoke so the harness
+        # still gets a line (flagged in extra.device_unresponsive).
+        device_unresponsive = True
+        _force_cpu()
+        platform = jax.devices()[0].platform
+        on_tpu = False
     server_sps, server_dt = bench_server_step(on_tpu)
     contrast_sps, contrast_dt = bench_contrast_step(on_tpu)
     conw_dt = bench_conw(on_tpu)
@@ -207,6 +249,7 @@ def main():
                              3) if on_tpu else 0.0,
         "extra": {
             "platform": platform,
+            "device_unresponsive": device_unresponsive,
             "server_step_ms": round(server_dt * 1e3, 2),
             "contrast_step_samples_per_s": round(contrast_sps, 2),
             "contrast_step_ms": round(contrast_dt * 1e3, 2),
