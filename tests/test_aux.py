@@ -100,3 +100,50 @@ def test_step_timer():
         pass
     summary = t.report(0)
     assert "a_s" in summary and t.totals == {}
+
+
+def test_init_distributed_arg_validation():
+    """All three explicit args or none: partial specs used to pass
+    coordinator=None through to jax.distributed.initialize."""
+    import pytest as _pytest
+
+    from creamfl_tpu.parallel.mesh import init_distributed
+
+    with _pytest.raises(ValueError):
+        init_distributed(num_processes=2)
+    with _pytest.raises(ValueError):
+        init_distributed(process_id=1)
+    init_distributed()  # no cluster env vars -> clean no-op
+
+
+def test_recall_scores_empty_ranks_clear_error():
+    import numpy as np
+    import pytest as _pytest
+
+    from creamfl_tpu.engine.evaluator import _recall_scores
+
+    with _pytest.raises(ValueError, match="empty eval set"):
+        _recall_scores(np.array([], dtype=np.int32))
+
+
+def test_evaluator_set_criterion_params_rebuilds_scorer():
+    """matching_prob bakes the criterion params into the jitted ranking
+    program (static-arg closure); set_criterion_params must swap in a
+    fresh closure so updated shift/negative_scale take effect."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from creamfl_tpu.engine.evaluator import RetrievalEvaluator
+
+    p1 = {"shift": jnp.asarray([0.0]),
+          "negative_scale": jnp.asarray([1.0])}
+    ev = RetrievalEvaluator(eval_method="matching_prob",
+                            criterion_params=p1)
+    q = jnp.asarray(np.eye(2, 4, dtype=np.float32))
+    g = jnp.asarray(np.eye(2, 4, dtype=np.float32))
+    s1 = np.asarray(ev._sims_fn(q, g))
+    p2 = {"shift": jnp.asarray([5.0]),
+          "negative_scale": jnp.asarray([1.0])}
+    ev.set_criterion_params(p2)
+    s2 = np.asarray(ev._sims_fn(q, g))
+    assert not np.allclose(s1, s2), "updated params were ignored"
