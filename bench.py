@@ -204,6 +204,13 @@ def _force_cpu():
     from jax._src import xla_bridge
 
     _jax.config.update("jax_platforms", "cpu")
+    try:
+        # The persistent cache was configured while the backend was
+        # still TPU; CPU AOT artifacts are ISA-fragile on this
+        # live-migrating VM (tests/conftest.py) — turn it off.
+        _jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
     if xla_bridge.backends_are_initialized():
         xla_bridge._clear_backends()
         _jax.clear_caches()

@@ -76,7 +76,12 @@ class F30kCaptionsCap:
         mapping = self._regenerate_partition(len(self.pairs))
         if partition_pickle:
             # Reference writes the regenerated mapping back
-            # (flickr30k.py:102) so every client reads ONE draw.
+            # (flickr30k.py:102) so every client reads ONE draw. Create
+            # the partition dir if absent — a FileNotFoundError here
+            # would be misread by build_datasets as missing data roots.
+            parent = os.path.dirname(partition_pickle)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
             with open(partition_pickle, "wb") as f:
                 pickle.dump(mapping, f)
         return mapping[client]

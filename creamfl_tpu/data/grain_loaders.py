@@ -52,6 +52,18 @@ class _PadBatch(grain.MapTransform if HAVE_GRAIN else object):
         return batch
 
 
+class _ValidMask(grain.MapTransform if HAVE_GRAIN else object):
+    """Attach an all-true ``valid`` mask to a bare (possibly ragged)
+    batch — the pad_last=False public-loader contract."""
+
+    def map(self, batch):
+        batch = dict(batch)
+        first = next(v for v in batch.values()
+                     if isinstance(v, np.ndarray))
+        batch["valid"] = np.ones(len(first), bool)
+        return batch
+
+
 class GrainLoader:
     """Epoch-iterable over a Grain DataLoader with ArrayLoader surface."""
 
@@ -62,6 +74,7 @@ class GrainLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self._epoch = 0
         self._shuffle = shuffle
         self._seed = seed
@@ -83,8 +96,13 @@ class GrainLoader:
         ops = [
             grain.Batch(batch_size=self.batch_size,
                         drop_remainder=self.drop_last),
-            _PadBatch(self.batch_size),
         ]
+        if self.pad_last:
+            ops.append(_PadBatch(self.batch_size))
+        else:
+            # Bare trailing partial batch (public-loader contract):
+            # still needs the valid mask consumers expect.
+            ops.append(_ValidMask())
         return grain.DataLoader(
             data_source=self.dataset,
             sampler=sampler,
@@ -102,7 +120,6 @@ def make_loader(dataset, batch_size: int, backend: str = "array",
                 **kwargs):
     """backend: 'array' (in-process) or 'grain' (multi-worker)."""
     if backend == "grain" and HAVE_GRAIN:
-        kwargs.pop("pad_last", None)
         kwargs.pop("collate_fn", None)
         return GrainLoader(dataset, batch_size, **kwargs)
     kwargs.pop("num_workers", None)

@@ -119,7 +119,10 @@ def imagenet_transform(img, train: bool, rng: Optional[random.Random] = None,
     else:
         img = center_crop(_resize(img, resize_size), crop_size)
     arr = normalize(np.asarray(img, np.float32))
-    if train and random_erasing_prob > 0:
+    # NOT gated on train: the reference appends RandomErasing whenever
+    # the prob is set, including the Resize+CenterCrop eval-subset
+    # branch (load_datasets.py:267-271).
+    if random_erasing_prob > 0:
         arr = random_erasing(arr, rng, random_erasing_prob)
     return arr
 

@@ -107,7 +107,8 @@ class MMClientEngine:
     def local_step(self, state: EngineState, batch, dropout_rng
                    ) -> Tuple[EngineState, Dict[str, jnp.ndarray]]:
         # Pairs touching repeat-padded rows are zeroed, matching the
-        # reference's bare torch partial batch (drop_last=False).
+        # reference's bare torch partial batch (drop_last=False) up to
+        # BN batch statistics, which still see the duplicated rows.
         valid = batch.get("valid")
 
         def loss_fn(params):

@@ -135,7 +135,8 @@ class UniClientEngine:
         labels = batch["labels"]
         # Pad-aware loss: repeat-padded final batches (static shapes)
         # compute the same masked mean the reference gets from its bare
-        # torch partial batch (DataLoader drop_last=False).
+        # torch partial batch (DataLoader drop_last=False). Residual
+        # deviation: BN batch statistics still see the duplicated rows.
         valid = batch.get("valid")
 
         def loss_fn(params):

@@ -64,6 +64,21 @@ def _stack_trees(trees):
 SCAN_CHUNK = 8
 
 
+def _uniform_batches(group) -> bool:
+    """True iff every batch in the group has the same leading dim —
+    the bare ragged final batch (public loaders keep the reference's
+    trailing partial batch) must take the per-batch path even when it
+    lands inside a full-sized chunk (pub batches % scan_chunk == 0)."""
+    def rows(b):
+        for v in b.values():
+            if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+                return v.shape[0]
+        return None
+
+    first = rows(group[0])
+    return all(rows(b) == first for b in group[1:])
+
+
 def _chunks(iterable, k):
     buf = []
     for x in iterable:
@@ -313,7 +328,8 @@ def _contrast_epoch(engine, states, old_params_list, old_bs_list,
                              lowering, g_keys)
 
     for group in _chunks(pub_loader, max(1, scan_chunk)):
-        if len(group) == scan_chunk and scan_chunk > 1:
+        if (len(group) == scan_chunk and scan_chunk > 1
+                and _uniform_batches(group)):
             batches = _stack_chunk(group)
             idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
             stacked, _ = chunk_prog(stacked, old_params,

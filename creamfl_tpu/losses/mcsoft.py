@@ -147,11 +147,15 @@ def mcsoft_contrastive_loss(
     # transpose direction has identical value; keep 2x for parity.
     loss = 2.0 * one_dir
     if config.reduction == "mean":
-        # Mean per direction over the n^2 pairs, then both directions
+        # Mean per direction over the real pairs, then both directions
         # added — the docstring convention (probemb.py:103). The
         # reference declares this mode but never applies it
         # (probemb.py:200 always .sum()s), so 'sum' is the parity path.
-        loss = loss / (n * n)
+        if valid is not None:
+            n_real = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            loss = loss / (n_real * n_real)
+        else:
+            loss = loss / (n * n)
 
     # Optional terms (off in every CreamFL config; probemb.py:139-148).
     if config.uniform_lambda:

@@ -231,8 +231,14 @@ def _enable_compile_cache():
 def run(args) -> None:
     _enable_compile_cache()
     from creamfl_tpu.federation.rounds import MMFL
+    from creamfl_tpu.utils.helper import set_seed
     from creamfl_tpu.utils.logging import PythonLogger, get_tracker
 
+    # Seed the GLOBAL python/numpy RNGs like the reference
+    # (main.py:122 -> helper.set_seed): partition regeneration
+    # (flickr30k non-IID draw) and any np.random consumers are
+    # deterministic per --seed.
+    set_seed(args.seed)
     os.makedirs(args.exp_dir, exist_ok=True)
     logger = PythonLogger(output_file=os.path.join(args.exp_dir,
                                                    f"{args.name}.log"))

@@ -77,9 +77,17 @@ static bool is_wordchar(unsigned char c) {
 //  - '"' becomes `` (opening) or '' (closing) like Treebank;
 //  - digit groups keep , and . ("1,000", "3.5");
 //  - contractions n't 's 're 've 'll 'd 'm split off.
-static bool rest_is_space(const std::string& text, size_t j) {
-    for (; j < text.size(); ++j)
-        if (!std::isspace((unsigned char)text[j])) return false;
+// nltk's end-of-sentence rule splits the final period when only
+// whitespace OR closing punctuation ( ) ] } > " ' ) follows — "dog.)"
+// and "hi.\"" end sentences too.
+static bool rest_is_sentence_end(const std::string& text, size_t j) {
+    for (; j < text.size(); ++j) {
+        unsigned char c = text[j];
+        if (std::isspace(c)) continue;
+        if (c == ')' || c == ']' || c == '}' || c == '>'
+            || c == '"' || c == '\'') continue;
+        return false;
+    }
     return true;
 }
 
@@ -116,7 +124,7 @@ static void tokenize_one(const std::string& text,
                     word.push_back('-'); ++j;  // hyphenated compound
                 } else if (cj == '.'
                            && !(j + 1 < n && text[j + 1] == '.')
-                           && !rest_is_space(text, j + 1)) {
+                           && !rest_is_sentence_end(text, j + 1)) {
                     word.push_back('.'); ++j;  // "u.s." mid-sentence
                 } else if (cj == ',' && j + 1 < n
                            && std::isdigit((unsigned char)text[j + 1])

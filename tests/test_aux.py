@@ -113,7 +113,17 @@ def test_init_distributed_arg_validation():
         init_distributed(num_processes=2)
     with _pytest.raises(ValueError):
         init_distributed(process_id=1)
-    init_distributed()  # no cluster env vars -> clean no-op
+    # Auto mode is a no-op only without cluster env vars — clear them
+    # so the test is environment-independent (on a SLURM/TPU host the
+    # bare call would legitimately try to initialize).
+    import os
+    saved = {k: os.environ.pop(k) for k in
+             ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "TPU_WORKER_ID",
+              "CLOUD_TPU_TASK_ID") if k in os.environ}
+    try:
+        init_distributed()
+    finally:
+        os.environ.update(saved)
 
 
 def test_recall_scores_empty_ranks_clear_error():

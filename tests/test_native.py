@@ -96,6 +96,9 @@ def test_native_tokenize_treebank_tricky_cases(lib):
         "state-of-the-art u.s. design, really...",
         "it's the dog's toy",
         "over 1,000 people",
+        "a man (with a dog.)",
+        'he said "hi."',
+        "a u.s. flag.",
     ]
     v = Vocabulary()
     for tok in ("<pad>", "<start>", "<end>", "<unk>"):

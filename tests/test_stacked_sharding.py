@@ -188,3 +188,38 @@ def test_scan_chunked_contrast_matches_unchunked(rng):
                         jax.tree.leaves(b.params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_ragged_final_batch_in_full_chunk_takes_per_batch_path(rng):
+    """Public loaders emit a bare ragged final batch; when the batch
+    count is an exact multiple of scan_chunk the ragged batch lands
+    inside a 'full' chunk group — _stack_chunk used to np.stack mixed
+    shapes and crash. Must route through the per-batch path instead."""
+    import types
+
+    args = types.SimpleNamespace(img_model_local="resnet10",
+                                 feature_dim=8, mlp_local=False,
+                                 interintra_weight=0.5, loss_scale=False)
+    engine = UniClientEngine("txt", num_class=4, args=args, vocab_size=20)
+
+    def batch(bs):
+        return {"captions": np.ones((bs, 5), np.int32),
+                "lengths": np.full((bs,), 5, np.int32),
+                "labels": np.zeros((bs,), np.int32),
+                "index": np.arange(bs, dtype=np.int64)}
+
+    state = engine.init_state(jax.random.PRNGKey(0), batch(4))
+    n_pub, d = 12, 8
+    same = jnp.asarray(rng.normal(size=(n_pub, d)), jnp.float32)
+
+    class _L:
+        def __iter__(self):
+            yield batch(4)
+            yield batch(2)  # ragged final batch, group size == chunk
+
+    out = S.stacked_uni_contrast_epoch(
+        engine, [state], [state.params], [state.batch_stats], _L(),
+        same, same, lambda b: jnp.asarray(b["index"], jnp.int32),
+        True, True, lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+        sharding=None, scan_chunk=2)
+    assert len(out) == 1 and out[0].step == 2
