@@ -165,13 +165,9 @@ def load_or_create_subset_idx(path: str, total: int = 566435,
                               k: int = 50000,
                               seed: int = 2021) -> List[int]:
     """The frozen public-subset indices (reference
-    load_datasets.py:148-162): reuse the committed file when present,
-    otherwise sample-sort-freeze."""
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            return pickle.load(f)
-    rng = random.Random(seed)
-    idx = sorted(rng.sample(range(total), k))
-    with open(path, "wb") as f:
-        pickle.dump(idx, f)
-    return idx
+    load_datasets.py:148-162). Delegates to
+    :mod:`creamfl_tpu.data.frozen` — paper-scale k fails loudly when
+    ``path`` is absent instead of silently resampling."""
+    from creamfl_tpu.data.frozen import load_subset_idx
+
+    return load_subset_idx(path, pub_data_num=k, total=total, seed=seed)

@@ -64,7 +64,17 @@ def data_partitioner(dataset: str, num_samples: int, num_clients: int,
         cache = os.path.join(check_dir, f"client_{dataset}{suffix}")
         if os.path.isfile(cache):
             with open(cache, "rb") as f:
-                return pickle.load(f)
+                net_map = pickle.load(f)
+            # Loud mismatch (the reference loads blindly,
+            # load_FL_datasets.py:123-129): a frozen 10-client pickle
+            # silently driving a different client count would desync the
+            # experiment from its config.
+            if len(net_map) != num_clients:
+                raise ValueError(
+                    f"partition cache {cache!r} holds {len(net_map)} "
+                    f"clients but the run wants {num_clients}; delete "
+                    "the cache or point check_dir elsewhere")
+            return net_map
 
     rng = np.random.default_rng(seed)
     if partition == "homo":

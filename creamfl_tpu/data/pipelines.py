@@ -135,9 +135,15 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                                  args.num_img_clients, "hetero",
                                  alpha=args.alpha,
                                  y_train=full.targets, seed=args.seed)
+        # Family-UNIFORM batch size (largest shard capped at bs): the
+        # stacked lock-step path stacks same-step batches across the
+        # family, so per-client batch shapes must match; undersized
+        # shards pad with a valid mask (reference uses one bs=512 for
+        # every client, MMFL.py:128).
+        img_bs = min(bs, max(1, max(len(parts[i])
+                                    for i in range(args.num_img_clients))))
         datasets["img_clients"] = [
-            ArrayLoader(_Subset(full, parts[i]),
-                        min(bs, max(1, len(parts[i]))), shuffle=True,
+            ArrayLoader(_Subset(full, parts[i]), img_bs, shuffle=True,
                         drop_last=False, pad_last=True, seed=args.seed)
             for i in range(args.num_img_clients)]
         datasets["img_test"] = ArrayLoader(
@@ -153,9 +159,10 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                                  args.num_txt_clients, "hetero",
                                  alpha=args.alpha,
                                  y_train=full.targets, seed=args.seed)
+        txt_bs = min(bs, max(1, max(len(parts[i])
+                                    for i in range(args.num_txt_clients))))
         datasets["txt_clients"] = [
-            ArrayLoader(_Subset(full, parts[i]),
-                        min(bs, max(1, len(parts[i]))), shuffle=True,
+            ArrayLoader(_Subset(full, parts[i]), txt_bs, shuffle=True,
                         drop_last=False, pad_last=True, seed=args.seed)
             for i in range(args.num_txt_clients)]
         datasets["txt_test"] = ArrayLoader(
@@ -199,17 +206,22 @@ class _Subset:
         return self.dataset[self.indices[i]]
 
 
-def build_real_datasets(args, vocab_path: str, coco_root: str,
+def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
                         cifar_root: str, agnews_root: str,
                         f30k_root: str, bert_vocab: Optional[str] = None,
-                        partition_dir: str = "./data_partition") -> Dict:
+                        partition_dir: Optional[str] = None) -> Dict:
     """Real-data bundle; mirrors prepare_coco_dataloaders +
     get_FL_trainloader. Raises FileNotFoundError on missing roots so the
-    caller can fall back to synthetic."""
+    caller can fall back to synthetic.
+
+    The frozen reproducibility artifacts (public-subset indices, COCO
+    split id files, vocab, non-IID client partitions) default to the
+    packaged copies (`creamfl_tpu/data/frozen.py`) so a paper-scale run
+    reproduces the reference's exact subsets by default."""
+    from creamfl_tpu.data import frozen
     from creamfl_tpu.data.agnews import Language
     from creamfl_tpu.data.cifar import Cifar
-    from creamfl_tpu.data.coco import (CocoCaptionsCap, SubsetDataset,
-                                       load_or_create_subset_idx)
+    from creamfl_tpu.data.coco import CocoCaptionsCap, SubsetDataset
     from creamfl_tpu.data.flickr30k import F30kCaptionsCap
     from creamfl_tpu.data.tokenize import BertWordPieceTokenizer
 
@@ -220,7 +232,10 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
         return make_loader(dataset, batch_size, backend=backend,
                            num_workers=workers, **kw)
 
-    vocab = Vocabulary().load_from_pickle(vocab_path)
+    vocab = Vocabulary().load_from_pickle(vocab_path
+                                          or frozen.coco_vocab_path())
+    if partition_dir is None:
+        partition_dir = frozen.partitions_dir()
     bert_tok = (BertWordPieceTokenizer.from_vocab_file(bert_vocab)
                 if bert_vocab and os.path.exists(bert_vocab) else None)
 
@@ -228,15 +243,11 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
     image_root = os.path.join(coco_root, "allimages")
     train_ann = os.path.join(ann_dir, "captions_train2014.json")
     val_ann = os.path.join(ann_dir, "captions_val2014.json")
-    id_dir = os.path.join(os.path.dirname(__file__), "annotations")
-
-    def _ids(name):
-        path = os.path.join(id_dir, name)
-        return np.load(path) if os.path.exists(path) else None
-
-    train_ids = _ids("coco_train_ids.npy")
-    restval_ids = _ids("coco_restval_ids.npy")
-    te_ids = _ids("coco_test_ids.npy")
+    # Karpathy split ids are packaged artifacts; missing files are a
+    # loud error (a silent None would fall back to ALL annotations).
+    train_ids = frozen.load_coco_ids("train")
+    restval_ids = frozen.load_coco_ids("restval")
+    te_ids = frozen.load_coco_ids("test")
 
     def coco(train, ids=train_ids, extra=restval_ids):
         # Both pub splits keep caption-drop 0.1 + random-erasing 0.2:
@@ -250,10 +261,14 @@ def build_real_datasets(args, vocab_path: str, coco_root: str,
             random_erasing_prob=0.2,
             bert_tokenizer=bert_tok)
 
-    subset_idx = load_or_create_subset_idx("coco_subset_idx_file")
-    # Honor --pub_data_num (reference hardcodes 50000 but keys loader
-    # names on the flag; we slice the frozen subset deterministically).
-    subset_idx = subset_idx[: getattr(args, "pub_data_num", 50000)]
+    pub_num = getattr(args, "pub_data_num", 50000)
+    subset_idx = frozen.load_subset_idx(
+        getattr(args, "coco_subset_idx", None), pub_data_num=pub_num)
+    # Honor --pub_data_num (the reference hardcodes 50000 and crashes on
+    # any other value when the frozen file exists — load_datasets.py:
+    # 157-162 leaves `idx` unbound; we slice the frozen subset
+    # deterministically instead).
+    subset_idx = subset_idx[:pub_num]
     coco_client = getattr(args, "coco_client", -1)
     if coco_client > -1:
         # Per-client COCO shard (reference load_datasets.py:164-166:

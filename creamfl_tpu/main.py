@@ -166,7 +166,7 @@ def build_datasets(args):
             home = os.environ.get('HOME', '.')
             return pipelines.build_real_datasets(
                 args,
-                vocab_path=args.vocab_path or "coco_vocab.pkl",
+                vocab_path=args.vocab_path,  # None -> packaged frozen vocab
                 coco_root=args.coco_root or f"{home}/data/mmdata/MSCOCO/2014",
                 cifar_root=args.cifar_root or f"{home}/data/cifar100",
                 agnews_root=args.agnews_root or f"{home}/data",

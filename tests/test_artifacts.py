@@ -1,0 +1,106 @@
+"""Packaged frozen-artifact integrity + loud-failure semantics.
+
+VERDICT r2 Missing #1: the reference's frozen reproducibility data
+(public-subset indices, Karpathy split ids, vocab, non-IID client
+partitions) must ship in the repo, be the defaults, and fail loudly
+when absent at paper scale. Reference consumers:
+src/utils/load_datasets.py:109-112,148-162,
+src/datasets/load_FL_datasets.py:79-120.
+"""
+
+import filecmp
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from creamfl_tpu.data import frozen
+from creamfl_tpu.data.partition import data_partitioner
+from creamfl_tpu.data.vocab import Vocabulary
+
+REF = "/root/reference"
+
+_PAIRS = [
+    ("artifacts/coco_subset_idx_file", "coco_subset_idx_file"),
+    ("annotations/coco_train_ids.npy",
+     "src/datasets/annotations/coco_train_ids.npy"),
+    ("annotations/coco_restval_ids.npy",
+     "src/datasets/annotations/coco_restval_ids.npy"),
+    ("annotations/coco_dev_ids.npy",
+     "src/datasets/annotations/coco_dev_ids.npy"),
+    ("annotations/coco_test_ids.npy",
+     "src/datasets/annotations/coco_test_ids.npy"),
+    ("vocabs/coco_vocab.pkl", "src/datasets/vocabs/coco_vocab.pkl"),
+    ("partitions/client_cifar100_noniid.pkl",
+     "data_partition/client_cifar100_noniid.pkl"),
+    ("partitions/client_AG_NEWS_noniid.pkl",
+     "data_partition/client_AG_NEWS_noniid.pkl"),
+    ("partitions/client_noniid_flicker30k.pkl",
+     "data_partition/client_noniid_flicker30k.pkl"),
+]
+
+
+def _pkg(rel):
+    return os.path.join(os.path.dirname(frozen.__file__), rel)
+
+
+def test_packaged_artifacts_exist():
+    for rel, _ in _PAIRS:
+        assert os.path.exists(_pkg(rel)), rel
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent")
+@pytest.mark.parametrize("rel,ref_rel", _PAIRS)
+def test_byte_identical_to_reference(rel, ref_rel):
+    assert filecmp.cmp(_pkg(rel), os.path.join(REF, ref_rel),
+                       shallow=False), rel
+
+
+def test_subset_idx_default_is_frozen():
+    idx = frozen.load_subset_idx()
+    assert len(idx) == 50000
+    assert idx == sorted(idx)
+    assert idx[0] == 9 and idx[-1] <= frozen.COCO_MERGED_CAPTIONS
+
+
+def test_subset_idx_loud_failure_at_paper_scale(tmp_path):
+    missing = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError, match="frozen public-subset"):
+        frozen.load_subset_idx(missing, pub_data_num=50000)
+    # Smoke scale regenerates deterministically (reference fallback).
+    idx = frozen.load_subset_idx(missing, pub_data_num=64, total=1000)
+    assert len(idx) == 64 and os.path.exists(missing)
+    assert idx == frozen.load_subset_idx(missing, pub_data_num=64)
+
+
+def test_coco_ids_loaders():
+    assert frozen.load_coco_ids("train").shape == (413915,)
+    assert frozen.load_coco_ids("restval").shape == (152520,)
+    assert frozen.load_coco_ids("dev").shape == (25000,)
+    assert frozen.load_coco_ids("test").shape == (25000,)
+
+
+def test_packaged_vocab_loads():
+    vocab = Vocabulary().load_from_pickle(frozen.coco_vocab_path())
+    # The reference's coco_vocab.pkl word2idx (SURVEY §2.2 row 20).
+    assert len(vocab) > 10000
+    for tok in ("<start>", "<end>", "<unk>", "<pad>"):
+        assert tok in vocab.word2idx
+
+
+def test_partitioner_consumes_frozen_pickles():
+    parts = data_partitioner("cifar100", 50000, 10, "hetero",
+                             check_dir=frozen.partitions_dir(),
+                             y_train=None)  # cache hit: y_train unused
+    with open(_pkg("partitions/client_cifar100_noniid.pkl"), "rb") as f:
+        ref = pickle.load(f)
+    assert parts.keys() == ref.keys()
+    for k in parts:
+        assert np.array_equal(parts[k], ref[k])
+
+
+def test_partitioner_count_mismatch_is_loud():
+    with pytest.raises(ValueError, match="holds 10 clients"):
+        data_partitioner("cifar100", 50000, 7, "hetero",
+                         check_dir=frozen.partitions_dir(), y_train=None)
