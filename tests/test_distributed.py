@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # >60s on the 1-core CPU host
+
 
 def _free_port() -> int:
     with socket.socket() as s:

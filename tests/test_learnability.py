@@ -12,6 +12,9 @@ from creamfl_tpu.data.synthetic import SyntheticCaptionDataset
 from creamfl_tpu.data.vocab import Vocabulary
 from creamfl_tpu.engine.evaluator import RetrievalEvaluator
 from creamfl_tpu.engine.server import ServerEngine
+import pytest
+
+pytestmark = pytest.mark.slow  # >60s on the 1-core CPU host
 
 
 def test_pcme_learns_synthetic_alignment():

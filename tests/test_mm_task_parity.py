@@ -22,6 +22,8 @@ from creamfl_tpu.federation import stacked as S
 from creamfl_tpu.federation.rounds import _client_epoch_keys
 from creamfl_tpu.parallel.mesh import client_sharding, make_mesh
 
+pytestmark = pytest.mark.slow  # >60s on the 1-core CPU host
+
 
 class _ListLoader:
     def __init__(self, batches):

@@ -9,6 +9,9 @@ import numpy as np
 from creamfl_tpu.engine.client_uni import UniClientEngine
 from creamfl_tpu.federation import stacked as S
 from creamfl_tpu.parallel.mesh import client_sharding, make_mesh
+import pytest
+
+pytestmark = pytest.mark.slow  # >60s on the 1-core CPU host
 
 
 class _OneBatchLoader:

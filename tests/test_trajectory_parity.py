@@ -26,6 +26,8 @@ from creamfl_tpu.config import default_config_path, parse_config
 from creamfl_tpu.engine.server import ServerEngine
 from creamfl_tpu.models.convert import torchvision_resnet_to_flax
 
+pytestmark = pytest.mark.slow  # >60s on the 1-core CPU host
+
 B, IMG, L, V, W, E = 6, 64, 9, 30, 12, 16
 
 
