@@ -58,15 +58,16 @@ class Cifar:
         if indices is not None:
             self.data = self.data[np.asarray(indices)]
             self.targets = self.targets[np.asarray(indices)]
-        import random as _random
+        from creamfl_tpu.data.sample_rng import SampleRNG
 
-        self.rng = _random.Random(seed)
+        self.rng = SampleRNG(seed)
 
     def __len__(self):
         return len(self.targets)
 
     def __getitem__(self, i: int):
-        img = cifar_client_transform(self.data[i], self.train, self.rng,
+        img = cifar_client_transform(self.data[i], self.train,
+                                     self.rng.for_index(i),
                                      self.imgsize)
         return {"images": img.astype(np.float32),
                 "labels": np.int32(self.targets[i])}

@@ -58,7 +58,11 @@ class CocoCaptionsCap:
         self.random_erasing_prob = random_erasing_prob
         self.bert_tokenizer = bert_tokenizer
         self.bert_max_len = bert_max_len
-        self.rng = random.Random(seed)
+        from creamfl_tpu.data.sample_rng import SampleRNG
+
+        # Per-(index, visit) rng: augmentation is deterministic under
+        # any loader service order (array/grain/multi-worker).
+        self.rng = SampleRNG(seed)
 
         imgs, anns = _load_annotations(ann_path)
         if extra_ann_path:
@@ -72,6 +76,18 @@ class CocoCaptionsCap:
         if extra_ids is not None:
             all_ids += list(extra_ids)
         self.ids = [int(i) for i in all_ids]
+        if ids is not None or extra_ids is not None:
+            # The frozen Karpathy id files cover the FULL COCO; against
+            # a subset annotation file (e.g. the committed test
+            # fixtures) keep only the ids present. An empty
+            # intersection means the wrong annotation file — loud.
+            present = [i for i in self.ids if i in anns]
+            if not present:
+                raise ValueError(
+                    f"none of the {len(self.ids)} requested annotation "
+                    f"ids exist in {ann_path!r} (+extra); wrong "
+                    "annotation file?")
+            self.ids = present
 
         self.n_images = len({anns[i]["image_id"] for i in self.ids
                              if i in anns})
@@ -93,13 +109,13 @@ class CocoCaptionsCap:
     def __len__(self):
         return len(self.ids)
 
-    def _load_image(self, image_id: int) -> np.ndarray:
+    def _load_image(self, image_id: int, rng) -> np.ndarray:
         from PIL import Image
 
         path = os.path.join(self.image_root, self._imgs[image_id])
         with Image.open(path) as im:
             return imagenet_transform(
-                im, self.train, self.rng,
+                im, self.train, rng,
                 random_erasing_prob=self.random_erasing_prob)
 
     def __getitem__(self, index: int):
@@ -107,17 +123,18 @@ class CocoCaptionsCap:
         ann = self._anns[ann_id]
         image_id = ann["image_id"]
         caption = ann["caption"]
-        img = self._load_image(image_id)
+        rng = self.rng.for_index(index)
+        img = self._load_image(image_id, rng)
         if self._native_vocab is not None:
             toks, lens = self._native_vocab.tokenize_batch(
                 [str(caption)], self.max_len, self.caption_drop_prob,
-                seed=self.rng.getrandbits(63)
+                seed=rng.getrandbits(63)
                 if self.caption_drop_prob > 0 else 0)
             tokens, n_ids = toks[0], int(lens[0])
         else:
             ids = caption_to_ids(caption, self.vocab,
                                  self.caption_drop_prob,
-                                 self.rng)[: self.max_len]
+                                 rng)[: self.max_len]
             tokens = np.zeros((self.max_len,), np.int32)
             tokens[: len(ids)] = ids
             n_ids = len(ids)

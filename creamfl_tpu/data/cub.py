@@ -34,7 +34,9 @@ class CUBCaption:
         self.train = train
         self.vocab = vocab
         self.max_len = max_len
-        self.rng = random.Random(seed)
+        from creamfl_tpu.data.sample_rng import SampleRNG
+
+        self.rng = SampleRNG(seed)
         omit = set(_read_lines(omit_ids)) if omit_ids else set()
 
         class_dirs = _read_lines(classes_file)
@@ -68,7 +70,8 @@ class CUBCaption:
 
         rel, caption, cls_idx = self.samples[index]
         with Image.open(os.path.join(self.image_root, rel)) as im:
-            img = imagenet_transform(im, self.train, self.rng)
+            img = imagenet_transform(im, self.train,
+                                     self.rng.for_index(index))
         ids = caption_to_ids(caption, self.vocab)[: self.max_len]
         tokens = np.zeros((self.max_len,), np.int32)
         tokens[: len(ids)] = ids

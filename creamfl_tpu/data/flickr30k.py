@@ -42,7 +42,9 @@ class F30kCaptionsCap:
         self.max_len = max_len
         self.caption_drop_prob = caption_drop_prob if train else 0.0
         self.random_erasing_prob = random_erasing_prob if train else 0.0
-        self.rng = random.Random(seed)
+        from creamfl_tpu.data.sample_rng import SampleRNG
+
+        self.rng = SampleRNG(seed)
 
         pairs = []  # (filename, caption, image_id, ann_id)
         ann_id = 0
@@ -118,12 +120,13 @@ class F30kCaptionsCap:
         from PIL import Image
 
         fname, caption, image_id, ann_id = self.pairs[index]
+        rng = self.rng.for_index(index)
         with Image.open(os.path.join(self.image_root, fname)) as im:
             img = imagenet_transform(
-                im, self.train, self.rng,
+                im, self.train, rng,
                 random_erasing_prob=self.random_erasing_prob)
         ids = caption_to_ids(caption, self.vocab, self.caption_drop_prob,
-                             self.rng)[: self.max_len]
+                             rng)[: self.max_len]
         tokens = np.zeros((self.max_len,), np.int32)
         tokens[: len(ids)] = ids
         return {

