@@ -184,6 +184,14 @@ class MMClientEngine:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        # The MCSoft criterion scalars are unused by the contrast loss:
+        # torch AdamP sees grad=None for them and skips (their moment
+        # buffers from the local epochs must NOT keep perturbing them).
+        from creamfl_tpu.optim.factory import restore_frozen
+
+        params, opt_state = restore_frozen(
+            ("criterion",), params, opt_state, state.params,
+            state.opt_state)
         return EngineState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state,
                            step=state.step + 1), loss

@@ -38,7 +38,8 @@ from creamfl_tpu.losses.contrast import (combine_inter_intra,
                                          intra_modal_moon_loss)
 from creamfl_tpu.models.clients import (ImageClientNet, TextClientNet,
                                         clamp_head_weights)
-from creamfl_tpu.optim.factory import make_client_sgd
+from creamfl_tpu.models.resnet import RESNET_CONFIGS
+from creamfl_tpu.optim.factory import make_client_sgd, restore_frozen
 
 
 def _deep_merge(a, b):
@@ -64,8 +65,11 @@ class UniClientEngine:
         self.args = args
         if modality == "img":
             self.model = ImageClientNet(
+                # Unknown names fall back to resnet18 exactly like the
+                # reference (resnet_client.py builds resnet18 unless
+                # told resnet10); known zoo entries pass through.
                 cnn_type=args.img_model_local
-                if args.img_model_local in ("resnet10", "resnet18")
+                if args.img_model_local in RESNET_CONFIGS
                 else "resnet18",
                 num_class=num_class, embed_dim=args.feature_dim,
                 scale=128.0, mlp_local=args.mlp_local,
@@ -145,13 +149,26 @@ class UniClientEngine:
             (x1, _x2, w1, _w2), mut = out
             task = margin_softmax_loss(x1, labels, self.margin,
                                        valid=valid)
-            center = weight_orthogonality_loss(w1)
+            # Reference grad semantics: the center loss flows through
+            # relu(W) (ClientTrainer.py:350 uses fc_weight_relu, whose
+            # backward masks entries clamped to 0), while the logits
+            # path uses the post-`.data`-swap weight UNmasked. w1 is
+            # already clamped (>=0), so the strict where() only changes
+            # the GRADIENT at the zero entries, not the value.
+            center = weight_orthogonality_loss(
+                jnp.where(w1 > 0, w1, 0.0))
             return task + 0.5 * center, (mut.get("batch_stats", {}), x1)
 
         (loss, (batch_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(clamped)
         updates, opt_state = self.tx.update(grads, state.opt_state, clamped)
         params = optax.apply_updates(clamped, updates)
+        if getattr(self.model, "mlp_local", False):
+            # head_proj only exists in the features phase: torch sees
+            # grad=None for it here and skips it entirely.
+            params, opt_state = restore_frozen(
+                ("head_proj",), params, opt_state, clamped,
+                state.opt_state)
         # top-1/top-5 on the margin-adjusted logits (reference
         # ClientTrainer.py:352-358 measures accuracy on fvec post-margin).
         adj = logits - self.margin * jax.nn.one_hot(labels,
@@ -211,6 +228,13 @@ class UniClientEngine:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        # The classifier heads are unused by the features phase: torch
+        # sees grad=None and skips them (no decay/momentum), so freeze
+        # them here too (ClientTrainer.py:369-510 contrast epochs leave
+        # the heads exactly as the task epochs left them).
+        params, opt_state = restore_frozen(
+            ("class_fc", "class_fc_2"), params, opt_state,
+            state.params, state.opt_state)
         return EngineState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state,
                            step=state.step + 1), loss

@@ -107,6 +107,36 @@ def make_server_optimizer(learning_rate: float, t_max: int = 30,
     return _make(learning_rate), schedule
 
 
+def restore_frozen(keys, new_params, new_opt_state, old_params,
+                   old_opt_state):
+    """torch optimizers SKIP params whose ``.grad`` is None (an unused
+    branch of the forward), so neither weight decay, momentum, nor the
+    moment buffers advance for them. A jitted jax step sees zero grads
+    for unused params instead — decay/momentum would still move them.
+    Restoring the frozen top-level subtrees (params AND every optimizer
+    slot that mirrors them) post-update reproduces the torch semantics
+    exactly (reference: per-phase forwards touch disjoint heads,
+    ClientTrainer.py:369-510 / resnet_client.py:184-189)."""
+    import jax.tree_util as jtu
+
+    keys = set(keys)
+    params = {k: (old_params[k] if k in keys else v)
+              for k, v in new_params.items()}
+
+    def pick(path, new, old):
+        for entry in path:
+            name = getattr(entry, "key", None)
+            if name is None:
+                name = getattr(entry, "name", None)
+            if name in keys:
+                return old
+        return new
+
+    opt_state = jtu.tree_map_with_path(pick, new_opt_state,
+                                       old_opt_state)
+    return params, opt_state
+
+
 def set_learning_rate(opt_state, lr):
     """Set the injected learning_rate hyperparameter in-place-ish."""
     opt_state.hyperparams["learning_rate"] = lr
