@@ -199,6 +199,33 @@ def _place(tree, sharding):
     return jax.device_put(tree, sharding)
 
 
+def _place_stacked_batch(batch, sharding):
+    """Shard a [C, ...] stacked batch's client axis like the states.
+    Off-mesh arrays (committed default-device jax.Arrays, e.g.
+    device-synthesized images) alongside mesh-resident states would be
+    an incompatible-devices error; host np arrays would work uncommitted
+    but an explicit put keeps the transfer deterministic."""
+    if sharding is None:
+        return batch
+    return {k: (jax.device_put(v, sharding)
+                if hasattr(v, "ndim") and v.ndim >= 1 else v)
+            for k, v in batch.items()}
+
+
+def _replicate_committed(batch, sharding):
+    """Broadcast (client-axis-free) batches: committed jax.Arrays must
+    move onto the mesh device set; host np stays uncommitted (jit
+    transfers it to whatever layout the program wants)."""
+    if sharding is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(sharding.mesh, P())
+    return {k: (jax.device_put(v, repl) if isinstance(v, jax.Array)
+                else v)
+            for k, v in batch.items()}
+
+
 def _select_state(active, new_state, old_state):
     """Keep ``new_state`` where ``active`` (a scalar bool per vmapped
     client), else freeze the old state — the masked equivalent of 'this
@@ -240,7 +267,10 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     Clients advance in lock-step; when a client's stream runs out before
     the family max, its slot replays its last batch with ``active=False``
     so the vmapped program keeps a static shape while the select freezes
-    its state. ``epoch_keys`` ([C] PRNG keys) seeds per-client dropout
+    its state. ``states`` may be LONGER than ``loaders``: the excess
+    slots are sharding pad (a family smaller than the mesh client axis
+    pads to it, rounds._group_sharding) and stay permanently inactive.
+    ``epoch_keys`` ([C_slots] PRNG keys) seeds per-client dropout
     for mm clients; the per-step key folds in the lock-step index, which
     equals each active client's own batch index, so the sequential
     oracle derives identical keys (rounds._client_epoch_keys).
@@ -248,8 +278,13 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     host-side and cross as one transfer per field per step.
     """
     del device_batch_fn
+    n_slots = len(states)
     stacked = _place(stack_states(list(states)), sharding)
     iters = [iter(loader) for loader in loaders]
+    n_pad = n_slots - len(iters)
+    assert n_pad >= 0, (n_slots, len(iters))
+    if epoch_keys is not None and sharding is not None:
+        epoch_keys = jax.device_put(epoch_keys, sharding)
     vstep = _task_step_prog(engine, mm, _lowering_for(sharding))
 
     last = [None] * len(iters)
@@ -267,13 +302,18 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
                 batches.append(b)
         if not any(active):
             break
+        # Pad slots replay slot 0's batch, always inactive (select
+        # freezes their state; they only exist to even the shard).
+        batches += [batches[0]] * n_pad
+        active += [False] * n_pad
         if any(b is None for b in batches):  # client with an empty loader
             filler = next(b for b in batches if b is not None)
             batches = [filler if b is None else b for b in batches]
         # Host fields stack on host -> ONE transfer per field per step
         # (per-client jnp.asarray costs ~2 ms dispatch each on a remote
         # device); device fields stack on device.
-        stacked_batch = _stack_chunk(batches)
+        stacked_batch = _place_stacked_batch(_stack_chunk(batches),
+                                             sharding)
         amask = np.asarray(active)
         if mm:
             stacked = vstep(stacked, stacked_batch, amask, epoch_keys,
@@ -281,7 +321,7 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
         else:
             stacked = vstep(stacked, stacked_batch, amask)
         step += 1
-    return unstack_states(stacked, len(states))
+    return unstack_states(stacked, n_slots)
 
 
 @functools.lru_cache(maxsize=None)
@@ -330,7 +370,7 @@ def _contrast_epoch(engine, states, old_params_list, old_bs_list,
     for group in _chunks(pub_loader, max(1, scan_chunk)):
         if (len(group) == scan_chunk and scan_chunk > 1
                 and _uniform_batches(group)):
-            batches = _stack_chunk(group)
+            batches = _replicate_committed(_stack_chunk(group), sharding)
             idxs = np.stack([np.asarray(batch_rows_fn(b)) for b in group])
             stacked, _ = chunk_prog(stacked, old_params,
                                     old_bs if old_bs else None,
@@ -340,7 +380,8 @@ def _contrast_epoch(engine, states, old_params_list, old_bs_list,
             globals_ = {k0: g0, k1: g1, "index": batch_rows_fn(batch)}
             stacked, _ = vstep(stacked, old_params,
                                old_bs if old_bs else None,
-                               device_batch_fn(batch), globals_)
+                               _replicate_committed(device_batch_fn(batch),
+                                                    sharding), globals_)
     return unstack_states(stacked, len(states))
 
 
@@ -394,7 +435,8 @@ def _stacked_feats(engine, states, pub_loader, device_batch_fn, sharding,
     vfeat = _feat_prog(engine, _lowering_for(sharding), uni)
     parts, idx_parts, n_valid = [], [], 0
     for batch in pub_loader:
-        out = vfeat(stacked, device_batch_fn(batch))
+        out = vfeat(stacked,
+                    _replicate_committed(device_batch_fn(batch), sharding))
         if uni:
             feats, stacked = out
         else:

@@ -102,6 +102,16 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--no_client_parallel', dest='client_parallel',
                         action='store_false', default=True,
                         help='disable stacked client-parallel execution')
+    parser.add_argument('--no_mesh', dest='use_mesh',
+                        action='store_false', default=True,
+                        help='disable the multi-device mesh (single-'
+                             'device execution even on a slice)')
+    parser.add_argument('--mesh_devices', type=int, default=0,
+                        help='cap the mesh to the first N devices '
+                             '(0 = all)')
+    parser.add_argument('--coco_subset_idx', type=str, default=None,
+                        help='frozen public-subset index file (default: '
+                             'the packaged reference artifact)')
     parser.add_argument('--resnet_ckpt', type=str, default=None,
                         help='torchvision ResNet state_dict (.pth) for the '
                              'server image trunk')

@@ -82,7 +82,12 @@ class Bottleneck(nn.Module):
 
 
 # name -> (block class, stage sizes, feature dim of final grid)
+# "resnet6" is a dryrun/test-scale trunk (stem + 2 basic blocks) with no
+# reference counterpart: sharding/compile checks on a 1-core CPU host
+# are compile-time-bound, and trunk depth is irrelevant to the sharding
+# semantics being checked. The reference zoo starts at resnet10.
 RESNET_CONFIGS = {
+    "resnet6": (BasicBlock, (1, 1), 128),
     "resnet10": (BasicBlock, (1, 1, 1, 1), 512),
     "resnet18": (BasicBlock, (2, 2, 2, 2), 512),
     "resnet34": (BasicBlock, (3, 4, 6, 3), 512),

@@ -15,6 +15,8 @@ from creamfl_tpu.federation.rounds import MMFL
 from creamfl_tpu.main import build_configs
 from creamfl_tpu.data.pipelines import build_synthetic_datasets
 
+pytestmark = pytest.mark.slow  # >60s on the 1-core CPU host
+
 
 def _args(tmp_path, **kw):
     ns = types.SimpleNamespace(
@@ -27,6 +29,9 @@ def _args(tmp_path, **kw):
         interintra_weight=0.5, loss_scale=False, save_client=False,
         pub_data_num=32, feature_dim=16, not_bert=True, smoke=True,
         synthetic=True, client_parallel=True,
+        # Mesh off: pad slots cost real compute on the 1-core CPU host;
+        # mesh coverage lives in test_full_round_mesh / stacked tests.
+        use_mesh=False,
         ckpt_dir=str(tmp_path / "ckpt"), wandb=False)
     for k, v in kw.items():
         setattr(ns, k, v)
