@@ -45,7 +45,8 @@ class CocoCaptionsCap:
                  random_erasing_prob: float = 0.0,
                  bert_tokenizer=None,
                  bert_max_len: int = 64,
-                 seed: int = 2021):
+                 seed: int = 2021,
+                 allow_missing_ids: bool = False):
         self.image_root = image_root
         self.vocab = vocab
         self.train = train
@@ -60,7 +61,7 @@ class CocoCaptionsCap:
         self.bert_max_len = bert_max_len
         from creamfl_tpu.data.sample_rng import SampleRNG
 
-        # Per-(index, visit) rng: augmentation is deterministic under
+        # Per-(index, epoch) rng: augmentation is deterministic under
         # any loader service order (array/grain/multi-worker).
         self.rng = SampleRNG(seed)
 
@@ -77,11 +78,20 @@ class CocoCaptionsCap:
             all_ids += list(extra_ids)
         self.ids = [int(i) for i in all_ids]
         if ids is not None or extra_ids is not None:
-            # The frozen Karpathy id files cover the FULL COCO; against
-            # a subset annotation file (e.g. the committed test
-            # fixtures) keep only the ids present. An empty
-            # intersection means the wrong annotation file — loud.
             present = [i for i in self.ids if i in anns]
+            if len(present) != len(self.ids) and not allow_missing_ids:
+                # Dropping missing ids COMPACTS positions, so any frozen
+                # position-indexed subset (coco_subset_idx) would
+                # silently select different captions than the paper — a
+                # partial/truncated annotation file must fail loudly
+                # (the reference KeyErrors on the first missing id,
+                # datasets/coco.py:30-148). Miniature fixtures opt in
+                # via allow_missing_ids.
+                raise ValueError(
+                    f"{len(self.ids) - len(present)} of the "
+                    f"{len(self.ids)} requested annotation ids are "
+                    f"missing from {ann_path!r} (+extra); partial or "
+                    "wrong annotation file?")
             if not present:
                 raise ValueError(
                     f"none of the {len(self.ids)} requested annotation "

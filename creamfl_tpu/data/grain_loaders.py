@@ -111,6 +111,12 @@ class GrainLoader:
         )
 
     def __iter__(self):
+        from creamfl_tpu.data.sample_rng import set_epoch
+
+        # Must happen BEFORE _build: worker_count>0 pickles the data
+        # source into fresh worker processes at loader construction, so
+        # the epoch has to already be baked into the dataset state.
+        set_epoch(self.dataset, self._epoch)
         loader = self._build(self._epoch)
         self._epoch += 1
         return iter(loader)

@@ -90,10 +90,15 @@ class ArrayLoader:
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        from creamfl_tpu.data.sample_rng import set_epoch
+
         n = len(self.dataset)
         order = list(range(n))
         if self.shuffle:
             self.rng.shuffle(order)
+        # Epoch-key the per-sample augmentation rngs (pad refetches then
+        # reproduce the row they duplicate; matches the grain backend).
+        set_epoch(self.dataset, self._epoch)
         self._epoch += 1
         bs = self.batch_size
         # Fast path: a CachedDataset exposes contiguous arrays — one

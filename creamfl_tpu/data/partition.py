@@ -65,15 +65,19 @@ def data_partitioner(dataset: str, num_samples: int, num_clients: int,
         if os.path.isfile(cache):
             with open(cache, "rb") as f:
                 net_map = pickle.load(f)
-            # Loud mismatch (the reference loads blindly,
-            # load_FL_datasets.py:123-129): a frozen 10-client pickle
-            # silently driving a different client count would desync the
-            # experiment from its config.
-            if len(net_map) != num_clients:
+            # Reference semantics: the frozen pickle is loaded as-is and
+            # the run indexes clients 0..N-1 (load_FL_datasets.py:123-129
+            # loads blindly; MMFL only ever touches num_clients entries),
+            # so a 10-client pickle serves any smaller run. Only a pickle
+            # with FEWER clients than requested is a hard error — there
+            # is no reference-sanctioned way to invent the missing ones.
+            if len(net_map) < num_clients:
                 raise ValueError(
                     f"partition cache {cache!r} holds {len(net_map)} "
                     f"clients but the run wants {num_clients}; delete "
                     "the cache or point check_dir elsewhere")
+            if len(net_map) > num_clients:
+                net_map = {i: net_map[i] for i in range(num_clients)}
             return net_map
 
     rng = np.random.default_rng(seed)
@@ -95,7 +99,14 @@ def data_partitioner(dataset: str, num_samples: int, num_clients: int,
         raise ValueError(f"unknown partition {partition!r}")
 
     if cache:
-        os.makedirs(check_dir, exist_ok=True)
-        with open(cache, "wb") as f:
-            pickle.dump(net_map, f)
+        from creamfl_tpu.data import frozen
+
+        # Never write regenerated partitions into the packaged frozen-
+        # artifact directory (e.g. a homo run whose _iid.pkl has no
+        # frozen counterpart): the package ships reference bytes only.
+        if os.path.abspath(check_dir) != os.path.abspath(
+                frozen.partitions_dir()):
+            os.makedirs(check_dir, exist_ok=True)
+            with open(cache, "wb") as f:
+                pickle.dump(net_map, f)
     return net_map

@@ -135,13 +135,8 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                                  args.num_img_clients, "hetero",
                                  alpha=args.alpha,
                                  y_train=full.targets, seed=args.seed)
-        # Family-UNIFORM batch size (largest shard capped at bs): the
-        # stacked lock-step path stacks same-step batches across the
-        # family, so per-client batch shapes must match; undersized
-        # shards pad with a valid mask (reference uses one bs=512 for
-        # every client, MMFL.py:128).
-        img_bs = min(bs, max(1, max(len(parts[i])
-                                    for i in range(args.num_img_clients))))
+        img_bs = _family_batch_size(
+            bs, *(len(parts[i]) for i in range(args.num_img_clients)))
         datasets["img_clients"] = [
             ArrayLoader(_Subset(full, parts[i]), img_bs, shuffle=True,
                         drop_last=False, pad_last=True, seed=args.seed)
@@ -159,8 +154,8 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                                  args.num_txt_clients, "hetero",
                                  alpha=args.alpha,
                                  y_train=full.targets, seed=args.seed)
-        txt_bs = min(bs, max(1, max(len(parts[i])
-                                    for i in range(args.num_txt_clients))))
+        txt_bs = _family_batch_size(
+            bs, *(len(parts[i]) for i in range(args.num_txt_clients)))
         datasets["txt_clients"] = [
             ArrayLoader(_Subset(full, parts[i]), txt_bs, shuffle=True,
                         drop_last=False, pad_last=True, seed=args.seed)
@@ -190,6 +185,17 @@ def build_synthetic_datasets(args, vocab: Optional[Vocabulary] = None,
                             seed=args.seed)
             for ds in mm_datasets]
     return datasets
+
+
+def _family_batch_size(cap: int, *sizes: int) -> int:
+    """Family-UNIFORM client batch size: the stacked lock-step path
+    stacks same-step batches across a family, so per-client batch
+    shapes must match; the reference uses one fixed size for every
+    client (MMFL.py:128). Clamped to the largest shard so miniature
+    (fixture/smoke) data does not pad every batch to the paper cap —
+    at real scale the shards exceed the cap and this IS the reference
+    value. Undersized shards pad with a valid mask."""
+    return min(cap, max(1, max(sizes)))
 
 
 class _Subset:
@@ -249,6 +255,12 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
     restval_ids = frozen.load_coco_ids("restval")
     te_ids = frozen.load_coco_ids("test")
 
+    # Miniature --smoke fixtures pair the full-COCO frozen id files with
+    # subset annotation files, so missing ids are expected there; at
+    # real scale a partial annotation file must fail loudly (it would
+    # silently shift the frozen position-indexed public subset).
+    allow_missing = bool(getattr(args, "smoke", False))
+
     def coco(train, ids=train_ids, extra=restval_ids):
         # Both pub splits keep caption-drop 0.1 + random-erasing 0.2:
         # the reference passes the train probs to train_subset_eval too
@@ -259,7 +271,8 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
             extra_ids=extra, train=train, vocab=vocab,
             caption_drop_prob=0.1,
             random_erasing_prob=0.2,
-            bert_tokenizer=bert_tok)
+            bert_tokenizer=bert_tok,
+            allow_missing_ids=allow_missing)
 
     pub_num = getattr(args, "pub_data_num", 50000)
     subset_idx = frozen.load_subset_idx(
@@ -283,15 +296,14 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
     val_ids = frozen.load_coco_ids("dev")[:5000]
     test_set = CocoCaptionsCap(image_root, val_ann, ids=te_ids,
                                train=False, vocab=vocab,
-                               bert_tokenizer=bert_tok)
+                               bert_tokenizer=bert_tok,
+                               allow_missing_ids=allow_missing)
 
     bs = args.batch_size
     # Public loaders use the server config's batch size (coco.yaml
     # dataloader.batch_size=128; eval subset x2 — load_datasets.py:59,82),
-    # independent of the clients' --batch_size. Clamped to the dataset
-    # (only bites on miniature fixture data; paper scale = reference
-    # values).
-    pub_bs = min(128, max(1, len(pub_train)))
+    # independent of the clients' --batch_size.
+    pub_bs = _family_batch_size(128, len(pub_train))
     datasets: Dict = {
         "vocab": vocab,
         "synthetic": False,
@@ -313,7 +325,8 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
     if val_ids is not None:
         val_set = CocoCaptionsCap(image_root, val_ann, ids=val_ids,
                                   train=False, vocab=vocab,
-                                  bert_tokenizer=bert_tok)
+                                  bert_tokenizer=bert_tok,
+                                  allow_missing_ids=allow_missing)
         datasets["val"] = _loader(val_set, 8, pad_last=True)
 
     if args.num_img_clients > 0:
@@ -322,19 +335,15 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
                                  args.num_img_clients, "hetero",
                                  check_dir=partition_dir, alpha=0.1,
                                  y_train=train.targets, seed=args.seed)
-        # Family-uniform client batch (reference bs=512, MMFL.py:128),
-        # clamped to the largest shard so fixture-scale data does not
-        # pad every batch to 512; uniformity is required by the stacked
-        # lock-step path.
-        img_bs = min(512, max(1, max(len(parts[i])
-                                     for i in range(args.num_img_clients))))
+        img_bs = _family_batch_size(
+            512, *(len(parts[i]) for i in range(args.num_img_clients)))
         datasets["img_clients"] = [
             _loader(_Subset(train, parts[i]), img_bs, shuffle=True,
                         pad_last=True, seed=args.seed)
             for i in range(args.num_img_clients)]
         test_set_img = Cifar(cifar_root, "Cifar100", train=False)
         datasets["img_test"] = _loader(
-            test_set_img, min(512, max(1, len(test_set_img))),
+            test_set_img, _family_batch_size(512, len(test_set_img)),
             pad_last=True)
     if args.num_txt_clients > 0:
         train = Language(agnews_root, "AG_NEWS", train=True, vocab=vocab)
@@ -342,8 +351,8 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
                                  args.num_txt_clients, "hetero",
                                  check_dir=partition_dir, alpha=0.1,
                                  y_train=train.targets, seed=args.seed)
-        txt_bs = min(512, max(1, max(len(parts[i])
-                                     for i in range(args.num_txt_clients))))
+        txt_bs = _family_batch_size(
+            512, *(len(parts[i]) for i in range(args.num_txt_clients)))
         datasets["txt_clients"] = [
             _loader(_Subset(train, parts[i]), txt_bs, shuffle=True,
                         pad_last=True, seed=args.seed)
@@ -351,7 +360,7 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
         test_set_txt = Language(agnews_root, "AG_NEWS", train=False,
                                 vocab=vocab)
         datasets["txt_test"] = _loader(
-            test_set_txt, min(512, max(1, len(test_set_txt))),
+            test_set_txt, _family_batch_size(512, len(test_set_txt)),
             pad_last=True)
     if args.num_mm_clients > 0:
         pp = os.path.join(partition_dir, "client_noniid_flicker30k.pkl")
@@ -361,7 +370,7 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
                             random_erasing_prob=0.2, client=i,
                             partition_pickle=pp)
             for i in range(args.num_mm_clients)]
-        mm_bs = min(128, max(1, max(len(d) for d in mm_sets)))
+        mm_bs = _family_batch_size(128, *(len(d) for d in mm_sets))
         datasets["mm_clients"] = [
             # pad_last + MCSoft pair masking == the reference's bare
             # trailing partial batch (drop_last defaults False).

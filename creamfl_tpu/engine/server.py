@@ -101,6 +101,18 @@ class ServerEngine:
                 jnp.asarray(batch["bert_mask"]).sum(-1),
                 jnp.asarray(batch["bert_mask"]))
 
+    def _text_inputs_host(self, batch):
+        """Host (numpy) variant of ``_text_inputs`` for callers that
+        device_put straight into a mesh sharding: jnp.asarray would
+        commit to the default device first, costing a second
+        device-to-device reshard per field per batch."""
+        if self.model.not_bert:
+            return (np.asarray(batch["captions"]),
+                    np.asarray(batch["lengths"]), None)
+        mask = np.asarray(batch["bert_mask"])
+        return (np.asarray(batch["bert_ids"]),
+                mask.sum(-1, dtype=np.int32), mask)
+
     def set_round_lr(self, state: EngineState, round_n: int) -> EngineState:
         state.opt_state.hyperparams["learning_rate"] = (
             self.lr_schedule(round_n))

@@ -355,7 +355,12 @@ class MMFL:
 
     # ------------------------------------------------------------------
     def _server_inputs(self, batch):
-        captions, lengths, bert_mask = self.server._text_inputs(batch)
+        # On a mesh, keep text fields on host so _to_mesh_dp lands them
+        # in their final sharding in ONE transfer (jnp.asarray would
+        # commit to the default device and pay a reshard on top).
+        text_fn = (self.server._text_inputs if self.mesh is None
+                   else self.server._text_inputs_host)
+        captions, lengths, bert_mask = text_fn(batch)
         return (self._to_mesh_dp(batch["images"]),
                 self._to_mesh_dp(captions), self._to_mesh_dp(lengths),
                 self._to_mesh_dp(bert_mask))

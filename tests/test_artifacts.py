@@ -101,6 +101,17 @@ def test_partitioner_consumes_frozen_pickles():
 
 
 def test_partitioner_count_mismatch_is_loud():
-    with pytest.raises(ValueError, match="holds 10 clients"):
-        data_partitioner("cifar100", 50000, 7, "hetero",
+    """Fewer clients than the frozen pickle: slice the first N like the
+    reference (load blindly, index 0..N-1 — load_FL_datasets.py:123-129);
+    more than the pickle holds: hard error."""
+    parts = data_partitioner("cifar100", 50000, 7, "hetero",
+                             check_dir=frozen.partitions_dir(),
+                             y_train=None)
+    assert sorted(parts) == list(range(7))
+    with open(_pkg("partitions/client_cifar100_noniid.pkl"), "rb") as f:
+        ref = pickle.load(f)
+    for k in parts:
+        assert np.array_equal(parts[k], ref[k])
+    with pytest.raises(ValueError, match="holds 10"):
+        data_partitioner("cifar100", 50000, 12, "hetero",
                          check_dir=frozen.partitions_dir(), y_train=None)

@@ -226,3 +226,109 @@ def test_prefetch_loader_abandoned_iterators_do_not_leak_threads():
     assert threading.active_count() <= before, "leaked fill threads"
     # Loader still works after abandonments (fresh iterator state).
     assert list(pl) == src
+
+def test_partition_cache_slices_and_guards(tmp_path):
+    """A cached pickle with MORE clients than requested serves the first
+    N (reference loads blindly and indexes 0..N-1,
+    load_FL_datasets.py:123-129); FEWER than requested is a hard error;
+    regenerated partitions are never written into the packaged
+    frozen-artifact directory."""
+    import os
+
+    import pytest
+    from creamfl_tpu.data import frozen
+
+    y = np.arange(100) % 4
+    kwargs = dict(partition="hetero", check_dir=str(tmp_path), alpha=0.5,
+                  y_train=y)
+    p10 = data_partitioner("AG_NEWS", 100, 4, seed=1, **kwargs)
+    p2 = data_partitioner("AG_NEWS", 100, 2, seed=999, **kwargs)
+    assert sorted(p2) == [0, 1]
+    assert p2[0] == p10[0] and p2[1] == p10[1]
+    with pytest.raises(ValueError, match="holds 4"):
+        data_partitioner("AG_NEWS", 100, 6, seed=1, **kwargs)
+    # Packaged dir: the frozen 10-client cifar100 pickle serves a
+    # 3-client run, and a dataset with no frozen pickle regenerates
+    # WITHOUT writing into the package.
+    pkg = frozen.partitions_dir()
+    before = sorted(os.listdir(pkg))
+    p3 = data_partitioner("cifar100", 50000, 3, "hetero", check_dir=pkg,
+                          alpha=0.1, y_train=np.arange(50000) % 100)
+    assert sorted(p3) == [0, 1, 2]
+    data_partitioner("made_up_ds", 40, 2, "hetero", check_dir=pkg,
+                     alpha=0.5, y_train=np.arange(40) % 4, seed=0)
+    assert sorted(os.listdir(pkg)) == before
+
+
+def test_sample_rng_epoch_keying():
+    """(seed, index, epoch)-keyed rngs: service-order independent,
+    epoch-varying, and loader-driven via set_epoch through wrapper
+    chains (the grain multi-worker path re-pickles datasets per epoch,
+    so mutable visit counters would freeze augmentations)."""
+    from creamfl_tpu.data.loaders import ArrayLoader
+    from creamfl_tpu.data.sample_rng import SampleRNG, set_epoch
+
+    r = SampleRNG(7)
+    a0 = r.for_index(3).random()
+    assert r.for_index(3).random() == a0  # no hidden visit state
+    r.set_epoch(1)
+    assert r.for_index(3).random() != a0  # epochs vary
+
+    class _DS:
+        def __init__(self):
+            self.rng = SampleRNG(7)
+
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"x": np.float32(self.rng.for_index(i).random())}
+
+    class _Wrap:
+        def __init__(self, ds):
+            self.dataset = ds
+
+        def __len__(self):
+            return len(self.dataset)
+
+        def __getitem__(self, i):
+            return self.dataset[i]
+
+    ds = _DS()
+    set_epoch(_Wrap(ds), 4)  # walks wrapper chains
+    assert ds.rng.epoch == 4
+
+    # pad_last refetch reproduces the row it duplicates (grain's pad
+    # copies arrays; the two backends must agree).
+    loader = ArrayLoader(_DS(), batch_size=3, pad_last=True)
+    b1, b2 = list(loader)
+    # pad repeats idxs[0 % 2] = index 3: row 2 duplicates row 0 exactly
+    # (an epoch-keyed refetch draws the same rng as the first fetch).
+    assert b2["x"][2] == b2["x"][0]
+    # epoch 2 re-augments every index differently
+    b1e2, _ = list(loader)
+    assert not np.array_equal(b1["x"], b1e2["x"])
+
+
+def test_coco_partial_annotation_ids_fail_loudly(tmp_path):
+    """Missing requested annotation ids compact positions and desync the
+    frozen position-indexed public subset — loud by default, opt-in for
+    miniature fixtures (coco.py, VERDICT r3 review)."""
+    import json as _json
+
+    import pytest
+    from creamfl_tpu.data.coco import CocoCaptionsCap
+
+    ann = {"images": [{"id": 1, "file_name": "x.jpg"}],
+           "annotations": [{"id": 10, "image_id": 1, "caption": "a cat"},
+                           {"id": 11, "image_id": 1, "caption": "a dog"}]}
+    p = tmp_path / "captions.json"
+    p.write_text(_json.dumps(ann))
+    with pytest.raises(ValueError, match="missing"):
+        CocoCaptionsCap(str(tmp_path), str(p), ids=[10, 11, 12])
+    ds = CocoCaptionsCap(str(tmp_path), str(p), ids=[10, 11, 12],
+                         allow_missing_ids=True)
+    assert ds.ids == [10, 11]
+    with pytest.raises(ValueError, match="none of the"):
+        CocoCaptionsCap(str(tmp_path), str(p), ids=[98, 99],
+                        allow_missing_ids=True)
