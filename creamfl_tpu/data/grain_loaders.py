@@ -9,16 +9,30 @@ per-epoch iteration of stacked batches with a ``valid`` mask — so the
 federation layer can switch loaders transparently
 (``make_loader(..., backend='grain'|'array')``).
 
+Batch composition parity: grain's DataLoader distributes *records*
+round-robin across workers and applies operations (including Batch)
+per worker, so a naive record-level pipeline at worker_count=2 yields
+batches [0,2,4,6], [1,3,5,7], ... — different batch statistics than
+the in-process loader and the reference's index-ordered torch
+DataLoader (which parallelizes fetches but preserves batch
+composition). Here each grain record IS one whole batch
+(``_BatchView``): workers parallelize batch assembly + augmentation,
+grain's deterministic ordering preserves batch order, and the view
+computes its epoch order with the same stateful ``random.Random(seed)``
+stream ArrayLoader uses — batches are identical to the array backend
+for shuffled and unshuffled loaders alike.
+
 Falls back to ArrayLoader when grain is not importable.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+import random
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from creamfl_tpu.data.loaders import ArrayLoader
+from creamfl_tpu.data.loaders import ArrayLoader, stack_samples
 
 try:
     import grain.python as grain
@@ -29,39 +43,35 @@ except Exception:  # pragma: no cover
     HAVE_GRAIN = False
 
 
-class _PadBatch(grain.MapTransform if HAVE_GRAIN else object):
-    """Repeat-pad a (possibly short) grain.Batch output to the full
-    batch size and attach the ``valid`` mask (ArrayLoader contract)."""
+class _BatchView:
+    """Indexable view whose record ``b`` is the ready-stacked batch
+    ``order[b*bs:(b+1)*bs]`` of the wrapped dataset, replicating
+    ArrayLoader's pad/valid semantics exactly (short final batch:
+    repeat-pad via ``idxs[i % n_valid]`` when ``pad_last``, else emit
+    the bare ragged batch with an all-true mask)."""
 
-    def __init__(self, batch_size: int):
+    def __init__(self, dataset, order: Sequence[int], batch_size: int,
+                 drop_last: bool, pad_last: bool):
+        self.dataset = dataset  # exposed for sample_rng.set_epoch walks
+        self.order = list(order)
         self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.pad_last = pad_last
 
-    def map(self, batch):
-        batch = dict(batch)
-        first = next(v for v in batch.values()
-                     if isinstance(v, np.ndarray))
-        n_valid = len(first)
-        if n_valid < self.batch_size:
-            pad_idx = np.arange(self.batch_size - n_valid) % n_valid
-            for key, val in batch.items():
-                if isinstance(val, np.ndarray):
-                    batch[key] = np.concatenate([val, val[pad_idx]])
-                elif isinstance(val, (list, tuple)):
-                    batch[key] = list(val) + [val[i] for i in pad_idx]
-        batch["valid"] = np.arange(self.batch_size) < n_valid
-        return batch
+    def __len__(self) -> int:
+        n = len(self.order)
+        return n // self.batch_size if self.drop_last else -(
+            -n // self.batch_size)
 
-
-class _ValidMask(grain.MapTransform if HAVE_GRAIN else object):
-    """Attach an all-true ``valid`` mask to a bare (possibly ragged)
-    batch — the pad_last=False public-loader contract."""
-
-    def map(self, batch):
-        batch = dict(batch)
-        first = next(v for v in batch.values()
-                     if isinstance(v, np.ndarray))
-        batch["valid"] = np.ones(len(first), bool)
-        return batch
+    def __getitem__(self, b) -> Dict[str, Any]:
+        b = int(b)
+        bs = self.batch_size
+        idxs: List[int] = self.order[b * bs:(b + 1) * bs]
+        n_valid = len(idxs)
+        if n_valid < bs and self.pad_last:
+            idxs = idxs + [idxs[i % n_valid] for i in range(bs - n_valid)]
+        samples = [self.dataset[i] for i in idxs]
+        return stack_samples(samples, n_valid)
 
 
 class GrainLoader:
@@ -77,7 +87,10 @@ class GrainLoader:
         self.pad_last = pad_last
         self._epoch = 0
         self._shuffle = shuffle
-        self._seed = seed
+        # Same stateful shuffle stream as ArrayLoader: epoch E's order
+        # depends on the E-1 shuffles before it, so the two backends
+        # agree on every epoch, not just the first.
+        self._order_rng = random.Random(seed)
         self._num_workers = num_workers
 
     def __len__(self) -> int:
@@ -85,28 +98,18 @@ class GrainLoader:
         return n // self.batch_size if self.drop_last else -(
             -n // self.batch_size)
 
-    def _build(self, epoch: int):
+    def _build(self, view: _BatchView):
         sampler = grain.IndexSampler(
-            num_records=len(self.dataset),
-            shuffle=self._shuffle,
-            seed=self._seed + (epoch if self._shuffle else 0),
+            num_records=len(view),
+            shuffle=False,  # order is baked into the view
+            seed=0,
             num_epochs=1,
             shard_options=grain.NoSharding(),
         )
-        ops = [
-            grain.Batch(batch_size=self.batch_size,
-                        drop_remainder=self.drop_last),
-        ]
-        if self.pad_last:
-            ops.append(_PadBatch(self.batch_size))
-        else:
-            # Bare trailing partial batch (public-loader contract):
-            # still needs the valid mask consumers expect.
-            ops.append(_ValidMask())
         return grain.DataLoader(
-            data_source=self.dataset,
+            data_source=view,
             sampler=sampler,
-            operations=ops,
+            operations=[],
             worker_count=self._num_workers,
         )
 
@@ -117,7 +120,12 @@ class GrainLoader:
         # source into fresh worker processes at loader construction, so
         # the epoch has to already be baked into the dataset state.
         set_epoch(self.dataset, self._epoch)
-        loader = self._build(self._epoch)
+        order = list(range(len(self.dataset)))
+        if self._shuffle:
+            self._order_rng.shuffle(order)
+        view = _BatchView(self.dataset, order, self.batch_size,
+                          self.drop_last, self.pad_last)
+        loader = self._build(view)
         self._epoch += 1
         return iter(loader)
 

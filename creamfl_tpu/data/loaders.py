@@ -37,6 +37,21 @@ def collate_captions(token_lists: Sequence[Sequence[int]],
     return {"captions": out, "lengths": lengths}
 
 
+def stack_samples(samples: Sequence[dict], n_valid: int) -> Dict[str, Any]:
+    """Stack sample dicts into one dict-of-ndarray batch + ``valid``
+    mask (string fields collect into lists). Shared by ArrayLoader and
+    the grain batch view so both backends emit identical batches."""
+    batch: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], str):
+            batch[key] = vals
+        else:
+            batch[key] = np.stack([np.asarray(v) for v in vals])
+    batch["valid"] = (np.arange(len(samples)) < n_valid)
+    return batch
+
+
 def suffix_valid(valid: np.ndarray) -> int:
     """Count valid rows in a batch's ``valid`` mask, asserting the
     ArrayLoader pad contract: pads (``pad_last``) are always a suffix,
@@ -79,15 +94,7 @@ class ArrayLoader:
         return -(-n // self.batch_size)
 
     def _stack(self, samples: List[dict], n_valid: int) -> Dict[str, Any]:
-        batch: Dict[str, Any] = {}
-        for key in samples[0]:
-            vals = [s[key] for s in samples]
-            if isinstance(vals[0], str):
-                batch[key] = vals
-            else:
-                batch[key] = np.stack([np.asarray(v) for v in vals])
-        batch["valid"] = (np.arange(len(samples)) < n_valid)
-        return batch
+        return stack_samples(samples, n_valid)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         from creamfl_tpu.data.sample_rng import set_epoch

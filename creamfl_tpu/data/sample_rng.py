@@ -33,6 +33,11 @@ class SampleRNG:
         self.epoch = int(epoch)
 
     def for_index(self, index: int) -> random.Random:
+        # int() coercion matters: grain hands datasets np.int64 record
+        # keys, and the multiplicative mix below would silently wrap in
+        # fixed-width numpy arithmetic — a different seed than the
+        # arbitrary-precision python-int mix the array backend computes.
+        index = int(index)
         # Knuth-multiplicative mix into one stable 64-bit seed
         # (random.Random rejects tuples; hash() would work for ints but
         # explicit mixing documents the stability requirement).

@@ -184,3 +184,44 @@ def test_two_round_mmfl_on_fixtures(tmp_path):
     assert np.isfinite(scores["rsum"])
     assert algo.img_vec is not None and algo.txt_vec is not None
     assert algo.global_img_feature.shape == (8, 16)
+
+
+def test_grain_multiworker_epochs_reaugment(tmp_path):
+    """The motivating scenario for epoch-keyed sample rngs
+    (sample_rng.py): grain with worker_count>0 re-pickles the dataset
+    into fresh worker processes every epoch, so any mutable per-index
+    state dies with the workers. Assert (a) two epochs of the SAME
+    multi-worker loader draw different augmentations, and (b) each
+    epoch matches the array backend batch-for-batch."""
+    pytest.importorskip("grain")
+    from creamfl_tpu.data.flickr30k import F30kCaptionsCap
+    from creamfl_tpu.data.grain_loaders import GrainLoader
+    from creamfl_tpu.data.loaders import ArrayLoader
+    from creamfl_tpu.data.vocab import Vocabulary
+
+    vocab = Vocabulary().load_from_pickle(frozen.coco_vocab_path())
+
+    def mk():
+        return F30kCaptionsCap(os.path.join(FIX, "f30k"), "train",
+                               train=True, vocab=vocab,
+                               caption_drop_prob=0.1,
+                               random_erasing_prob=0.5)
+
+    # shuffle=True also agrees: both backends consume the same stateful
+    # random.Random(seed) order stream (grain_loaders._BatchView).
+    g = GrainLoader(mk(), batch_size=4, pad_last=True, num_workers=2,
+                    shuffle=True, seed=11)
+    a = ArrayLoader(mk(), batch_size=4, pad_last=True, shuffle=True,
+                    seed=11)
+    g1, g2 = [list(g) for _ in range(2)]
+    a1, a2 = [list(a) for _ in range(2)]
+    # (a) augmentations advance across epochs even through workers
+    assert not all(np.array_equal(x["images"], y["images"])
+                   for x, y in zip(g1, g2))
+    # (b) multi-worker grain == in-process array, both epochs
+    for ea, eg in ((a1, g1), (a2, g2)):
+        assert len(ea) == len(eg)
+        for ba, bg in zip(ea, eg):
+            for k in ("images", "captions", "lengths"):
+                np.testing.assert_array_equal(
+                    np.asarray(ba[k]), np.asarray(bg[k]), err_msg=k)

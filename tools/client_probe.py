@@ -90,7 +90,7 @@ def stack_tree(trees):
 
 
 def probe_uni(kind: str, n_clients: int, scan_chunk: int, results,
-              lowering: str = "scan"):
+              lowering: str = "scan", use_bf16: bool = True):
     from creamfl_tpu.engine.client_uni import UniClientEngine
     from creamfl_tpu.federation import stacked as S
 
@@ -98,7 +98,7 @@ def probe_uni(kind: str, n_clients: int, scan_chunk: int, results,
     args = make_args()
     engine = UniClientEngine(
         kind, num_class=100 if kind == "img" else 4, args=args,
-        vocab_size=4000, use_bf16=True)
+        vocab_size=4000, use_bf16=use_bf16)
     batch = pub_batch(rng)
     states = [engine.init_state(jax.random.PRNGKey(i), batch)
               for i in range(n_clients)]
@@ -123,9 +123,10 @@ def probe_uni(kind: str, n_clients: int, scan_chunk: int, results,
 
     dt = _time_calls(call, lambda st: jnp.sum(st.step))
     per_batch = dt / scan_chunk
-    results[f"{kind}_contrast_chunk{scan_chunk}_C{n_clients}"] = round(
+    tag = "" if use_bf16 else "_fp32"
+    results[f"{kind}_contrast_chunk{scan_chunk}_C{n_clients}{tag}"] = round(
         per_batch * 1e3, 2)
-    print(f"{kind} contrast C={n_clients}: {per_batch*1e3:.1f} ms/batch "
+    print(f"{kind}{tag} contrast C={n_clients}: {per_batch*1e3:.1f} ms/batch "
           f"(paper round: x{391*5} batches = "
           f"{per_batch*391*5:.0f}s/round)", flush=True)
 
@@ -208,6 +209,12 @@ def main():
         probe_uni("txt", 3, args.chunk, results, args.lowering)
     if "img" in parts:
         probe_uni("img", 3, args.chunk, results, args.lowering)
+    if "img_fp32" in parts:
+        # Production default: image clients run fp32 unless
+        # --client_bf16 (parity with the reference's fp32 clients);
+        # the delta vs the bf16 row above is the flag's headroom.
+        probe_uni("img", 3, args.chunk, results, args.lowering,
+                  use_bf16=False)
     if "mm" in parts:
         probe_mm(4, args.chunk, results, lowering=args.lowering)
     if "mm_task" in parts:
