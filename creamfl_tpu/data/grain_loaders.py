@@ -94,9 +94,11 @@ class GrainLoader:
         self._num_workers = num_workers
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(
-            -n // self.batch_size)
+        # Delegate to the batch view so the batch-count arithmetic has
+        # one source of truth with what __iter__ actually yields.
+        return len(_BatchView(self.dataset, range(len(self.dataset)),
+                              self.batch_size, self.drop_last,
+                              self.pad_last))
 
     def _build(self, view: _BatchView):
         sampler = grain.IndexSampler(

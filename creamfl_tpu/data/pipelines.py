@@ -275,8 +275,13 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
             allow_missing_ids=allow_missing)
 
     pub_num = getattr(args, "pub_data_num", 50000)
+    coco_train = coco(True)
+    # total= matters only on the smoke-scale regeneration path: sampling
+    # positions from the full-COCO constant against a miniature fixture
+    # set would write an index file that cannot index the dataset.
     subset_idx = frozen.load_subset_idx(
-        getattr(args, "coco_subset_idx", None), pub_data_num=pub_num)
+        getattr(args, "coco_subset_idx", None), pub_data_num=pub_num,
+        total=len(coco_train))
     # Honor --pub_data_num (the reference hardcodes 50000 and crashes on
     # any other value when the frozen file exists — load_datasets.py:
     # 157-162 leaves `idx` unbound; we slice the frozen subset
@@ -288,10 +293,10 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
         # captions [100000 + 10000*client, 110000 + 10000*client)).
         shard = list(range(100000 + coco_client * 10000,
                            110000 + coco_client * 10000))
-        pub_train = SubsetDataset(coco(True), shard)
+        pub_train = SubsetDataset(coco_train, shard)
         pub_eval = SubsetDataset(coco(False), shard)
     else:
-        pub_train = SubsetDataset(coco(True), subset_idx)
+        pub_train = SubsetDataset(coco_train, subset_idx)
         pub_eval = SubsetDataset(coco(False), subset_idx)
     val_ids = frozen.load_coco_ids("dev")[:5000]
     test_set = CocoCaptionsCap(image_root, val_ann, ids=te_ids,
@@ -322,12 +327,12 @@ def build_real_datasets(args, vocab_path: Optional[str], coco_root: str,
         "n_images_per_crossfold": 1000,
         "n_captions_per_crossfold": 5000,
     }
-    if val_ids is not None:
-        val_set = CocoCaptionsCap(image_root, val_ann, ids=val_ids,
-                                  train=False, vocab=vocab,
-                                  bert_tokenizer=bert_tok,
-                                  allow_missing_ids=allow_missing)
-        datasets["val"] = _loader(val_set, 8, pad_last=True)
+    # load_coco_ids is required=True, so val_ids always exists here.
+    val_set = CocoCaptionsCap(image_root, val_ann, ids=val_ids,
+                              train=False, vocab=vocab,
+                              bert_tokenizer=bert_tok,
+                              allow_missing_ids=allow_missing)
+    datasets["val"] = _loader(val_set, 8, pad_last=True)
 
     if args.num_img_clients > 0:
         train = Cifar(cifar_root, "Cifar100", train=True)

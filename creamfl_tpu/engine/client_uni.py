@@ -38,7 +38,6 @@ from creamfl_tpu.losses.contrast import (combine_inter_intra,
                                          intra_modal_moon_loss)
 from creamfl_tpu.models.clients import (ImageClientNet, TextClientNet,
                                         clamp_head_weights)
-from creamfl_tpu.models.resnet import RESNET_CONFIGS
 from creamfl_tpu.optim.factory import make_client_sgd, restore_frozen
 
 
@@ -65,11 +64,13 @@ class UniClientEngine:
         self.args = args
         if modality == "img":
             self.model = ImageClientNet(
-                # Unknown names fall back to resnet18 exactly like the
-                # reference (resnet_client.py builds resnet18 unless
-                # told resnet10); known zoo entries pass through.
+                # The reference builds resnet18_client unconditionally
+                # (ClientTrainer.py:278 — --img_model_local is never
+                # read for the architecture), so everything maps to
+                # resnet18 except the scaled-down test/dryrun trunks.
                 cnn_type=args.img_model_local
-                if args.img_model_local in RESNET_CONFIGS
+                if args.img_model_local in ("resnet6", "resnet10",
+                                            "resnet18")
                 else "resnet18",
                 num_class=num_class, embed_dim=args.feature_dim,
                 scale=128.0, mlp_local=args.mlp_local,

@@ -28,7 +28,8 @@ import optax
 
 
 class AdamPState(NamedTuple):
-    count: chex.Array
+    count: chex.Array      # global step clock (drives a callable lr)
+    counts: optax.Updates  # per-leaf clocks = torch state['step']
     mu: optax.Updates
     nu: optax.Updates
 
@@ -105,6 +106,8 @@ def adamp(learning_rate: optax.ScalarOrSchedule,
     def init_fn(params):
         return AdamPState(
             count=jnp.zeros([], jnp.int32),
+            counts=jax.tree.map(
+                lambda _: jnp.zeros([], jnp.int32), params),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(jnp.zeros_like, params),
         )
@@ -113,17 +116,25 @@ def adamp(learning_rate: optax.ScalarOrSchedule,
         if params is None:
             raise ValueError("adamp requires params")
         count = state.count + 1
-        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
-        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        # Per-leaf clocks mirror torch AdamP's state['step']: engines
+        # that freeze a subtree for a phase (grad=None in torch) restore
+        # its counts along with mu/nu via restore_frozen, so its bias
+        # corrections resume where the last REAL update left them
+        # instead of inheriting the global clock advanced by the
+        # frozen-phase steps.
+        counts = jax.tree.map(lambda c: c + 1, state.counts)
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
                           state.mu, updates)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
                           state.nu, updates)
         lr = (learning_rate(count - 1)
               if callable(learning_rate) else learning_rate)
-        step_size = lr / bc1
 
-        def leaf_update(path, p, g, m, v):
+        def leaf_update(path, p, g, m, v, c):
+            cf = c.astype(jnp.float32)
+            bc1 = 1.0 - b1 ** cf
+            bc2 = 1.0 - b2 ** cf
+            step_size = lr / bc1
             denom = jnp.sqrt(v / bc2) + eps
             perturb = m / denom
             if p.ndim > 1:
@@ -144,7 +155,8 @@ def adamp(learning_rate: optax.ScalarOrSchedule,
             return delta_p.astype(p.dtype)
 
         new_updates = jax.tree_util.tree_map_with_path(
-            leaf_update, params, updates, mu, nu)
-        return new_updates, AdamPState(count=count, mu=mu, nu=nu)
+            leaf_update, params, updates, mu, nu, counts)
+        return new_updates, AdamPState(count=count, counts=counts,
+                                       mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -138,3 +138,52 @@ def test_adamp_embedding_channel_axis_rowwise_projection():
     expect = -0.1 * (perturb - pn * np.sum(pn * perturb, axis=1,
                                            keepdims=True))
     np.testing.assert_allclose(upd, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_adamp_frozen_subtree_resumes_its_own_clock():
+    """torch AdamP keeps a per-param state['step'] and skips grad=None
+    params entirely, so a subtree frozen for a phase (mm criterion
+    during contrast, client_mm.py:187-194) resumes with the bias
+    corrections of ITS OWN update count — not the global clock the
+    other params advanced. Oracle: the frozen subtree's trajectory must
+    equal an uninterrupted adamp run that sees only its real grads."""
+    from creamfl_tpu.optim.factory import restore_frozen
+
+    rng = np.random.default_rng(3)
+
+    def vec():
+        return jnp.asarray(rng.normal(size=(5,)), jnp.float32)
+
+    params = {"model": vec(), "criterion": vec()}
+    crit0 = params["criterion"]
+    g1c, g4c = vec(), vec()
+    tx = adamp(1e-2)
+    state = tx.init(params)
+
+    # Step 1: both subtrees get real grads.
+    up, state = tx.update({"model": vec(), "criterion": g1c}, state,
+                          params)
+    params = optax.apply_updates(params, up)
+    # Steps 2-3: criterion frozen (grad=None in torch -> zero grads +
+    # post-update restore here, as the engines do).
+    for _ in range(2):
+        grads = {"model": vec(), "criterion": jnp.zeros(5, jnp.float32)}
+        up, new_state = tx.update(grads, state, params)
+        new_params = optax.apply_updates(params, up)
+        params, state = restore_frozen(("criterion",), new_params,
+                                       new_state, params, state)
+    # Step 4: criterion thaws.
+    up, state = tx.update({"model": vec(), "criterion": g4c}, state,
+                          params)
+    params = optax.apply_updates(params, up)
+
+    # Uninterrupted oracle over just the criterion's two real grads.
+    o_params = {"criterion": crit0}
+    o_state = tx.init(o_params)
+    for g in (g1c, g4c):
+        o_up, o_state = tx.update({"criterion": g}, o_state, o_params)
+        o_params = optax.apply_updates(o_params, o_up)
+
+    np.testing.assert_allclose(np.asarray(params["criterion"]),
+                               np.asarray(o_params["criterion"]),
+                               rtol=1e-6, atol=1e-7)
