@@ -136,6 +136,9 @@ def add_args(parser: argparse.ArgumentParser) -> None:
                              '(load_datasets.py client>-1 path)')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from the latest round checkpoint')
+    parser.add_argument('--cosine_t_max', type=int, default=0,
+                        help='override the cosine schedule T_max '
+                             '(0 = yaml value, 30, like the reference)')
 
 
 def build_configs(args):
@@ -150,12 +153,18 @@ def build_configs(args):
     server.model.not_bert = bool(args.not_bert)
     server.model.cnn_type = ('resnet50' if args.not_bert else 'resnet101')
     server.optimizer.learning_rate = args.server_lr
-    server.lr_scheduler.T_max = args.comm_rounds
+    # Reference parity: the yaml T_max (30) is kept regardless of
+    # --comm_rounds (the reference never rewires it — coco.yaml:38 is
+    # used verbatim at MMFL.py:286 via the cosine scheduler built at
+    # retrieval_trainer.py:72). --cosine_t_max overrides explicitly.
+    if getattr(args, 'cosine_t_max', 0):
+        server.lr_scheduler.T_max = args.cosine_t_max
 
     mm = parse_config(default_config_path("f30k.yaml"), strict_cast=False)
     mm.model.embed_dim = args.feature_dim
     mm.model.not_bert = True
-    mm.lr_scheduler.T_max = args.comm_rounds
+    if getattr(args, 'cosine_t_max', 0):
+        mm.lr_scheduler.T_max = args.cosine_t_max
 
     bert_config = BertConfig()
     if args.smoke:

@@ -23,8 +23,16 @@ fi
 
 if [ "$tier" = slow ] || [ "$tier" = all ]; then
     # One invocation per slow module (each < ~8 min on this host).
-    for mod in $(python -m pytest tests/ -m slow --collect-only -q \
-                   2>/dev/null | sed -n 's/::.*//p' | sort -u); do
+    # Collection failures must be loud: capture the module list, anchor
+    # the match to real test paths, and abort on an empty list instead
+    # of silently running zero modules and printing "suite OK".
+    mods=$(python -m pytest tests/ -m slow --collect-only -q |
+               sed -n 's/^\(tests\/[^:]*\.py\)::.*/\1/p' | sort -u)
+    if [ -z "$mods" ]; then
+        echo 'slow-tier collection failed (no modules found)' >&2
+        exit 1
+    fi
+    for mod in $mods; do
         run "$mod" -m slow
     done
 fi
