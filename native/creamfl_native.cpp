@@ -62,104 +62,366 @@ int32_t vocab_lookup(void* handle, const char* word) {
 // Tokenization
 // ---------------------------------------------------------------------
 
-static bool is_wordchar(unsigned char c) {
-    // UTF-8 continuation/lead bytes (>= 0x80) stay inside words so
-    // multibyte letters ("café") survive the byte-wise scan like they
-    // do under nltk.
-    return std::isalnum(c) != 0 || c >= 0x80;
+// Faithful byte-level port of nltk 3.10 TreebankWordTokenizer.tokenize
+// (the reference tokenizes captions with nltk word_tokenize =
+// punkt sentence split + Treebank; COCO/F30k captions are single
+// sentences, so Treebank alone is the oracle —
+// src/utils/load_datasets.py:277-295). Each pass below replicates one
+// of nltk's regex substitutions with re.sub semantics: sequential
+// left-to-right scan, non-overlapping matches, resume after each
+// match. Input is already lowercased (tokenize_batch), so the
+// case-insensitive alternations collapse. Verified against nltk on a
+// 12k-caption adversarial fuzz corpus (tests/test_native_fuzz.py).
+
+static bool is_digit_c(char c) { return c >= '0' && c <= '9'; }
+
+static bool in_set(char c, const char* set) {
+    return c != '\0' && std::strchr(set, c) != nullptr;
 }
 
-// Treebank-style split of one lowercased sentence into tokens,
-// matching nltk TreebankWordTokenizer on the caption-frequent cases:
-//  - hyphenated words stay whole ("t-shirt", "state-of-the-art");
-//  - internal periods attach ("u.s."); only the string-final period
-//    splits off (Treebank's end-of-sentence rule); "..." is one token;
-//  - '"' becomes `` (opening) or '' (closing) like Treebank;
-//  - digit groups keep , and . ("1,000", "3.5");
-//  - contractions n't 's 're 've 'll 'd 'm split off.
-// nltk's end-of-sentence rule splits the final period when only
-// whitespace OR closing punctuation ( ) ] } > " ' ) follows — "dog.)"
-// and "hi.\"" end sentences too.
-static bool rest_is_sentence_end(const std::string& text, size_t j) {
-    for (; j < text.size(); ++j) {
-        unsigned char c = text[j];
-        if (std::isspace(c)) continue;
-        if (c == ')' || c == ']' || c == '}' || c == '>'
-            || c == '"' || c == '\'') continue;
-        return false;
+static bool is_space_c(char c) {
+    return std::isspace((unsigned char)c) != 0;
+}
+
+// STARTING_QUOTES 1: ^" -> ``
+static std::string p_caret_quote(const std::string& s) {
+    if (!s.empty() && s[0] == '"') return "``" + s.substr(1);
+    return s;
+}
+
+// STARTING_QUOTES 2: (``) -> ' \1 '
+static std::string p_wrap_backticks(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        if (s[i] == '`' && i + 1 < s.size() && s[i + 1] == '`') {
+            o += " `` ";
+            i += 2;
+        } else {
+            o += s[i++];
+        }
     }
-    return true;
+    return o;
+}
+
+// STARTING_QUOTES 3: ([ ([{<])("|'') -> '\1 `` '
+static std::string p_open_quote(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        char c = s[i];
+        if (in_set(c, " ([{<") && i + 1 < s.size()) {
+            if (s[i + 1] == '"') {
+                o += c;
+                o += " `` ";
+                i += 2;
+                continue;
+            }
+            if (s[i + 1] == '\'' && i + 2 < s.size()
+                && s[i + 2] == '\'') {
+                o += c;
+                o += " `` ";
+                i += 3;
+                continue;
+            }
+        }
+        o += c;
+        ++i;
+    }
+    return o;
+}
+
+// PUNCTUATION 1: ([:,])([^\d]) -> ' \1 \2'
+static std::string p_colon_comma(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        char c = s[i];
+        if ((c == ':' || c == ',') && i + 1 < s.size()
+            && !is_digit_c(s[i + 1])) {
+            o += ' ';
+            o += c;
+            o += ' ';
+            o += s[i + 1];
+            i += 2;
+        } else {
+            o += s[i++];
+        }
+    }
+    return o;
+}
+
+// PUNCTUATION 2: ([:,])$ -> ' \1 '
+static std::string p_colon_comma_end(const std::string& s) {
+    if (!s.empty() && (s.back() == ':' || s.back() == ',')) {
+        std::string o = s.substr(0, s.size() - 1);
+        o += ' ';
+        o += s.back();
+        o += ' ';
+        return o;
+    }
+    return s;
+}
+
+// PUNCTUATION 3: \.\.\. -> ' ... '
+static std::string p_ellipsis(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        if (s[i] == '.' && i + 2 < s.size() && s[i + 1] == '.'
+            && s[i + 2] == '.') {
+            o += " ... ";
+            i += 3;
+        } else {
+            o += s[i++];
+        }
+    }
+    return o;
+}
+
+// PUNCTUATION 4/6: single-char classes -> ' c '
+static std::string p_space_class(const std::string& s, const char* cls) {
+    std::string o;
+    for (char c : s) {
+        if (in_set(c, cls)) {
+            o += ' ';
+            o += c;
+            o += ' ';
+        } else {
+            o += c;
+        }
+    }
+    return o;
+}
+
+// PUNCTUATION 5: ([^\.])(\.)([])}>"']*)\s*$ -> '\1 \2\3 '
+static std::string p_final_period(const std::string& s) {
+    long j = (long)s.size() - 1;
+    while (j >= 0 && is_space_c(s[j])) --j;
+    long k = j;
+    while (k >= 0 && in_set(s[k], "])}>\"'")) --k;
+    if (k >= 1 && s[k] == '.' && s[k - 1] != '.') {
+        return s.substr(0, k) + " " + s.substr(k, j - k + 1) + " ";
+    }
+    return s;
+}
+
+// PUNCTUATION 7: ([^'])' (space) -> "\1 ' "
+static std::string p_apos_space(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        if (s[i] != '\'' && i + 2 < s.size() && s[i + 1] == '\''
+            && s[i + 2] == ' ') {
+            o += s[i];
+            o += " ' ";
+            i += 3;
+        } else {
+            o += s[i++];
+        }
+    }
+    return o;
+}
+
+// DOUBLE_DASHES: -- -> ' -- '
+static std::string p_ddash(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        if (s[i] == '-' && i + 1 < s.size() && s[i + 1] == '-') {
+            o += " -- ";
+            i += 2;
+        } else {
+            o += s[i++];
+        }
+    }
+    return o;
+}
+
+// ENDING_QUOTES 1+2: '' -> " '' " then " -> " '' "
+static std::string p_close_quotes(const std::string& s) {
+    std::string o;
+    size_t i = 0;
+    while (i < s.size()) {
+        if (s[i] == '\'' && i + 1 < s.size() && s[i + 1] == '\'') {
+            o += " '' ";
+            i += 2;
+        } else {
+            o += s[i++];
+        }
+    }
+    std::string o2;
+    for (char c : o) {
+        if (c == '"') o2 += " '' ";
+        else o2 += c;
+    }
+    return o2;
+}
+
+// ENDING_QUOTES 3: ([^' ])('s|'m|'d|') (space) -> '\1 \2 '
+static std::string p_contr_short(const std::string& s) {
+    std::string o;
+    size_t i = 0, n = s.size();
+    while (i < n) {
+        char c = s[i];
+        if (c != '\'' && c != ' ' && i + 1 < n && s[i + 1] == '\'') {
+            size_t len = 0;  // suffix length incl. the apostrophe
+            if (i + 3 < n && in_set(s[i + 2], "smd") && s[i + 3] == ' ')
+                len = 2;
+            else if (i + 2 < n && s[i + 2] == ' ')
+                len = 1;
+            if (len) {
+                o += c;
+                o += ' ';
+                o += s.substr(i + 1, len);
+                o += ' ';
+                i += 1 + len + 1;  // \1 + suffix + trailing space
+                continue;
+            }
+        }
+        o += s[i++];
+    }
+    return o;
+}
+
+// ENDING_QUOTES 4: ([^' ])('ll|'re|'ve|n't) (space) -> '\1 \2 '
+static std::string p_contr_long(const std::string& s) {
+    std::string o;
+    size_t i = 0, n = s.size();
+    while (i < n) {
+        char c = s[i];
+        if (c != '\'' && c != ' ' && i + 4 < n) {
+            if (s[i + 1] == '\''
+                && ((s[i + 2] == 'l' && s[i + 3] == 'l')
+                    || (s[i + 2] == 'r' && s[i + 3] == 'e')
+                    || (s[i + 2] == 'v' && s[i + 3] == 'e'))
+                && s[i + 4] == ' ') {
+                o += c;
+                o += ' ';
+                o += s.substr(i + 1, 3);
+                o += ' ';
+                i += 5;
+                continue;
+            }
+            if (s[i + 1] == 'n' && s[i + 2] == '\'' && s[i + 3] == 't'
+                && s[i + 4] == ' ') {
+                o += c;
+                o += " n't ";
+                i += 5;
+                continue;
+            }
+        }
+        o += s[i++];
+    }
+    return o;
+}
+
+// \b word characters (python re \w over utf-8 bytes: multibyte
+// letters count as word chars).
+static bool is_bword(unsigned char c) {
+    return std::isalnum(c) != 0 || c == '_' || c >= 0x80;
+}
+
+// CONTRACTIONS2: \b(full)\b -> ' first second ' at a fixed split;
+// `wanna` uses a (?=\s) lookahead instead of the trailing \b.
+struct Contr2 {
+    const char* full;
+    int split;
+    bool lookahead_space;
+};
+
+static const Contr2 CONTR2[] = {
+    {"cannot", 3, false}, {"d'ye", 1, false},  {"gimme", 3, false},
+    {"gonna", 3, false},  {"gotta", 3, false}, {"lemme", 3, false},
+    {"more'n", 4, false}, {"wanna", 3, true},
+};
+
+static std::string p_contr2_one(const std::string& s, const Contr2& c) {
+    const size_t flen = std::strlen(c.full);
+    std::string o;
+    size_t i = 0, n = s.size();
+    while (i < n) {
+        if (s.compare(i, flen, c.full) == 0
+            && (i == 0 || !is_bword((unsigned char)s[i - 1]))) {
+            bool ok;
+            if (c.lookahead_space) {
+                ok = i + flen < n && is_space_c(s[i + flen]);
+            } else {
+                ok = i + flen == n
+                     || !is_bword((unsigned char)s[i + flen]);
+            }
+            if (ok) {
+                o += ' ';
+                o.append(c.full, c.split);
+                o += ' ';
+                o.append(c.full + c.split, flen - c.split);
+                o += ' ';
+                i += flen;  // lookahead is not consumed
+                continue;
+            }
+        }
+        o += s[i++];
+    }
+    return o;
+}
+
+// CONTRACTIONS3: " ('t)(is|was)\b" -> " 't is " / " 't was "
+static std::string p_contr3_one(const std::string& s,
+                                const char* tail) {
+    const size_t tlen = std::strlen(tail);
+    std::string o;
+    size_t i = 0, n = s.size();
+    while (i < n) {
+        if (s[i] == ' ' && s.compare(i + 1, 2, "'t") == 0
+            && s.compare(i + 3, tlen, tail) == 0
+            && (i + 3 + tlen == n
+                || !is_bword((unsigned char)s[i + 3 + tlen]))) {
+            o += " 't ";
+            o += tail;
+            o += ' ';
+            i += 3 + tlen;
+            continue;
+        }
+        o += s[i++];
+    }
+    return o;
 }
 
 static void tokenize_one(const std::string& text,
                          std::vector<std::string>& out) {
-    size_t i = 0, n = text.size();
-    bool prev_sep = true;  // for quote direction
-    while (i < n) {
-        unsigned char c = text[i];
-        if (std::isspace(c)) { ++i; prev_sep = true; continue; }
-        if (c == '"') {
-            out.emplace_back(prev_sep ? "``" : "''");
-            ++i; prev_sep = false; continue;
-        }
-        if (c == '.' && i + 2 < n && text[i + 1] == '.'
-            && text[i + 2] == '.') {
-            size_t j = i;
-            while (j < n && text[j] == '.') ++j;
-            out.push_back(text.substr(i, j - i));
-            i = j; prev_sep = false; continue;
-        }
-        if (is_wordchar(c)) {
-            size_t j = i;
-            std::string word;
-            while (j < n) {
-                unsigned char cj = text[j];
-                if (is_wordchar(cj)) { word.push_back((char)cj); ++j; }
-                else if (cj == '\'' && j + 1 < n
-                         && is_wordchar((unsigned char)text[j + 1])) {
-                    // Apostrophe inside a word: candidate contraction.
-                    word.push_back('\''); ++j;
-                } else if (cj == '-' && j + 1 < n
-                           && is_wordchar((unsigned char)text[j + 1])) {
-                    word.push_back('-'); ++j;  // hyphenated compound
-                } else if (cj == '.'
-                           && !(j + 1 < n && text[j + 1] == '.')
-                           && !rest_is_sentence_end(text, j + 1)) {
-                    word.push_back('.'); ++j;  // "u.s." mid-sentence
-                } else if (cj == ',' && j + 1 < n
-                           && std::isdigit((unsigned char)text[j + 1])
-                           && !word.empty()
-                           && std::isdigit(
-                                  (unsigned char)word.back())) {
-                    word.push_back(','); ++j;  // "1,000"
-                } else break;
-            }
-            i = j;
-            // Split trailing contraction.
-            static const char* suff[] = {"n't", "'s", "'re", "'ve",
-                                         "'ll", "'d", "'m"};
-            bool split = false;
-            for (const char* s : suff) {
-                size_t sl = std::strlen(s);
-                if (word.size() > sl
-                    && word.compare(word.size() - sl, sl, s) == 0) {
-                    out.push_back(word.substr(0, word.size() - sl));
-                    out.push_back(word.substr(word.size() - sl));
-                    split = true;
-                    break;
-                }
-            }
-            if (!split) {
-                // Any remaining internal apostrophes: emit as-is (the
-                // vocab decides unk-ness, matching python fallback).
-                out.push_back(word);
-            }
-            prev_sep = false;
-        } else {
-            out.emplace_back(1, (char)c);
-            ++i;
-            prev_sep = (c == '(' || c == '[' || c == '{');
-        }
+    // nltk pipeline order (TreebankWordTokenizer.tokenize).
+    std::string s = p_caret_quote(text);
+    s = p_wrap_backticks(s);
+    s = p_open_quote(s);
+
+    s = p_colon_comma(s);
+    s = p_colon_comma_end(s);
+    s = p_ellipsis(s);
+    s = p_space_class(s, ";@#$%&");
+    s = p_final_period(s);
+    s = p_space_class(s, "?!");
+    s = p_apos_space(s);
+
+    s = p_space_class(s, "][(){}<>");
+    s = p_ddash(s);
+
+    s = " " + s + " ";
+
+    s = p_close_quotes(s);
+    s = p_contr_short(s);
+    s = p_contr_long(s);
+
+    for (const Contr2& c : CONTR2) s = p_contr2_one(s, c);
+    s = p_contr3_one(s, "is");
+    s = p_contr3_one(s, "was");
+
+    size_t i = 0;
+    while (i < s.size()) {
+        while (i < s.size() && is_space_c(s[i])) ++i;
+        size_t j = i;
+        while (j < s.size() && !is_space_c(s[j])) ++j;
+        if (j > i) out.push_back(s.substr(i, j - i));
+        i = j;
     }
 }
 
