@@ -71,6 +71,9 @@ class DeviceImageBatches:
         self.synth = synth
         self.concept_fn = concept_fn
 
+    def set_round(self, round_n: int) -> None:
+        self.base.set_round(round_n)
+
     def __len__(self) -> int:
         return len(self.base)
 

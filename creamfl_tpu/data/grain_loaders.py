@@ -90,8 +90,29 @@ class GrainLoader:
         # Same stateful shuffle stream as ArrayLoader: epoch E's order
         # depends on the E-1 shuffles before it, so the two backends
         # agree on every epoch, not just the first.
+        self._seed = seed
         self._order_rng = random.Random(seed)
         self._num_workers = num_workers
+        self._round = None
+        self._round_k = 0
+
+    def set_round(self, round_n: int) -> None:
+        """Round-keyed epoch addressing, mirroring ArrayLoader.set_round
+        byte-for-byte so the two backends stay batch-identical in round
+        mode too (resume-deterministic epochs)."""
+        self._round = int(round_n)
+        self._round_k = 0
+
+    def _next_epoch_id(self) -> int:
+        from creamfl_tpu.data.loaders import ROUND_EPOCH_STRIDE
+
+        if self._round is None:
+            epoch = self._epoch
+            self._epoch += 1
+            return epoch
+        epoch = self._round * ROUND_EPOCH_STRIDE + self._round_k
+        self._round_k += 1
+        return epoch
 
     def __len__(self) -> int:
         # Delegate to the batch view so the batch-count arithmetic has
@@ -118,17 +139,19 @@ class GrainLoader:
     def __iter__(self):
         from creamfl_tpu.data.sample_rng import set_epoch
 
+        epoch_id = self._next_epoch_id()
         # Must happen BEFORE _build: worker_count>0 pickles the data
         # source into fresh worker processes at loader construction, so
         # the epoch has to already be baked into the dataset state.
-        set_epoch(self.dataset, self._epoch)
+        set_epoch(self.dataset, epoch_id)
         order = list(range(len(self.dataset)))
         if self._shuffle:
-            self._order_rng.shuffle(order)
+            rng = (random.Random(self._seed * 2_147_483_659 + epoch_id)
+                   if self._round is not None else self._order_rng)
+            rng.shuffle(order)
         view = _BatchView(self.dataset, order, self.batch_size,
                           self.drop_last, self.pad_last)
         loader = self._build(view)
-        self._epoch += 1
         return iter(loader)
 
 

@@ -23,6 +23,11 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+# Round-mode epoch ids are round * STRIDE + k (k-th iteration within the
+# round); large enough that successive rounds never collide for any
+# realistic per-round epoch count.
+ROUND_EPOCH_STRIDE = 1 << 20
+
 
 def collate_captions(token_lists: Sequence[Sequence[int]],
                      max_len: int) -> Dict[str, np.ndarray]:
@@ -83,9 +88,32 @@ class ArrayLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_last = pad_last
+        self.seed = seed
         self.rng = random.Random(seed)
         self.collate_fn = collate_fn
         self._epoch = 0
+        self._round = None
+        self._round_k = 0
+
+    def set_round(self, round_n: int) -> None:
+        """Switch epoch addressing to ``(seed, round, k-th iteration)``
+        so batch order and per-sample augmentation draws become a pure
+        function of the round index: a fresh process that ``--resume``s
+        at round R replays exactly the epochs a straight run would see
+        (the default stateful stream depends on how many epochs ran
+        before — unreplayable after a restart). MMFL.train calls this
+        on every loader at round entry (federation/rounds.py)."""
+        self._round = int(round_n)
+        self._round_k = 0
+
+    def _next_epoch_id(self) -> int:
+        if self._round is None:
+            epoch = self._epoch
+            self._epoch += 1
+            return epoch
+        epoch = self._round * ROUND_EPOCH_STRIDE + self._round_k
+        self._round_k += 1
+        return epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -101,12 +129,17 @@ class ArrayLoader:
 
         n = len(self.dataset)
         order = list(range(n))
+        epoch_id = self._next_epoch_id()
         if self.shuffle:
-            self.rng.shuffle(order)
+            # Round mode derives the order from (seed, epoch_id) —
+            # identical for a resumed process; the default keeps the
+            # legacy sequential stream (grain mirrors both).
+            rng = (random.Random(self.seed * 2_147_483_659 + epoch_id)
+                   if self._round is not None else self.rng)
+            rng.shuffle(order)
         # Epoch-key the per-sample augmentation rngs (pad refetches then
         # reproduce the row they duplicate; matches the grain backend).
-        set_epoch(self.dataset, self._epoch)
-        self._epoch += 1
+        set_epoch(self.dataset, epoch_id)
         bs = self.batch_size
         # Fast path: a CachedDataset exposes contiguous arrays — one
         # fancy-index per batch instead of n per-sample stacks.
@@ -184,6 +217,9 @@ class PrefetchLoader:
 
     def __len__(self):
         return len(self.loader)
+
+    def set_round(self, round_n: int) -> None:
+        self.loader.set_round(round_n)
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)

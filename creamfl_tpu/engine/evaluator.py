@@ -75,11 +75,15 @@ def best_positive_ranks(q_features: jnp.ndarray, g_features: jnp.ndarray,
 
 def best_positive_ranks_sharded(q_features, g_features, q_labels,
                                 g_labels, mesh, block_size: int = 1024,
-                                axes=("client", "data")) -> jnp.ndarray:
+                                axes=("client", "data"),
+                                sims_fn=None) -> jnp.ndarray:
     """Mesh-parallel ranking: query rows shard over the mesh, the
     gallery replicates, and every device runs the same blocked O(N)
     reduction on its shard (the eval analogue of the DP server step;
     the reference evaluates on one GPU only, eval_coco.py:334-445).
+    ``sims_fn`` overrides the similarity per query block (matching_prob
+    mode, eval_coco.py:54-72) — it is pure per-(query, gallery) math,
+    so sharding query rows leaves it untouched.
 
     Zero cross-device traffic until the final [n_q] gather.
     """
@@ -95,16 +99,18 @@ def best_positive_ranks_sharded(q_features, g_features, q_labels,
 
     # Padding makes the per-shard length an exact multiple of
     # block_size, so each device runs the plain blocked reduction.
-    prog = _sharded_rank_prog(mesh, tuple(axes), block_size)
+    prog = _sharded_rank_prog(mesh, tuple(axes), block_size, sims_fn)
     ranks = prog(qf, g, ql, gl)
     return ranks[:n_q]
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_rank_prog(mesh, axes, block_size: int):
-    """Cached jitted shard_map ranking program per (mesh, axes, block):
-    rebuilding the wrapper per call re-traced + recompiled every
-    evaluate_recall (~12 calls per eval round)."""
+def _sharded_rank_prog(mesh, axes, block_size: int, sims_fn=None):
+    """Cached jitted shard_map ranking program per (mesh, axes, block,
+    sims_fn): rebuilding the wrapper per call re-traced + recompiled
+    every evaluate_recall (~12 calls per eval round). ``sims_fn``
+    closures are stable per evaluator (set_criterion_params), so a
+    params refresh yields a fresh closure = a fresh (correct) trace."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -114,7 +120,8 @@ def _sharded_rank_prog(mesh, axes, block_size: int):
 
     def per_device(qf_l, g_l, ql_l, gl_l):
         return best_positive_ranks(qf_l, g_l, ql_l, gl_l,
-                                   block_size=block_size)
+                                   block_size=block_size,
+                                   sims_fn=sims_fn)
 
     return jax.jit(shard_map(
         per_device, mesh=mesh,
@@ -160,7 +167,8 @@ class RetrievalEvaluator:
         self.logger = logger
         self.eval_method = eval_method
         # Optional mesh: ranking shards query rows over the devices
-        # (best_positive_ranks_sharded); matmul mode only.
+        # (best_positive_ranks_sharded), in both matmul and
+        # matching_prob modes.
         self.mesh = mesh
         # Optional image_id -> class remap (reference mm_eval.py:127-133:
         # CUB-style evaluation groups galleries by class instead of
@@ -191,26 +199,51 @@ class RetrievalEvaluator:
         self._sims_fn = _sims
 
     # -- feature extraction (host-side dedup/alignment) ----------------
-    def extract_features(self, loader, extract_fn: Callable) -> Dict:
+    def extract_features(self, loader, extract_fn: Callable,
+                         extract_chunk_fn: Optional[Callable] = None
+                         ) -> Dict:
         """Dedup images by image_id (first-seen order) and group captions
         by their image's position, fully vectorized: at COCO-5K scale the
         former per-sample loop + O(n_img x n_cap) alignment cost ~125M
         host comparisons per eval (reference keeps the same semantics via
-        Python dicts, eval_coco.py:119-223)."""
+        Python dicts, eval_coco.py:119-223).
+
+        ``extract_chunk_fn(batches) -> (fi, fc)`` (flat [k*B, E]) lets
+        the caller run k uniform batches per device dispatch — this
+        forward-only loop was dispatch-bound at ~2 ms tunnel RTT per
+        batch (98 dispatches inside an ~11 s floor at paper geometry)."""
         fi_parts, fc_parts, id_parts, ann_parts, valids = ([], [], [],
                                                            [], [])
-        for batch in loader:
-            fi, fc = extract_fn(batch)
-            valid = np.asarray(batch.get("valid",
-                                         np.ones(len(fi), bool))).astype(
-                                             bool)
+
+        def accumulate(fi, fc, batches):
             # Keep features on device; a per-batch np.asarray would
             # force one blocking transfer per batch.
             fi_parts.append(fi)
             fc_parts.append(fc)
-            valids.append(valid)
-            id_parts.append(np.asarray(batch["image_ids"])[valid])
-            ann_parts.append(np.asarray(batch["ann_ids"])[valid])
+            for b in batches:
+                n = len(np.asarray(b["image_ids"]))
+                valid = np.asarray(b.get("valid",
+                                         np.ones(n, bool))).astype(bool)
+                valids.append(valid)
+                id_parts.append(np.asarray(b["image_ids"])[valid])
+                ann_parts.append(np.asarray(b["ann_ids"])[valid])
+
+        if extract_chunk_fn is None:
+            for batch in loader:
+                fi, fc = extract_fn(batch)
+                accumulate(fi, fc, [batch])
+        else:
+            from creamfl_tpu.federation.stacked import (_chunks,
+                                                        _uniform_batches)
+
+            for group in _chunks(iter(loader), 8):
+                if len(group) == 1 or not _uniform_batches(group):
+                    for batch in group:
+                        fi, fc = extract_fn(batch)
+                        accumulate(fi, fc, [batch])
+                    continue
+                fi, fc = extract_chunk_fn(group)
+                accumulate(fi, fc, group)
         valid_all = np.concatenate(valids)
         all_img = np.asarray(jnp.concatenate(
             [jnp.asarray(p) for p in fi_parts]))[valid_all]
@@ -265,10 +298,10 @@ class RetrievalEvaluator:
     def evaluate_recall(self, q_features, g_features, q_labels,
                         g_labels) -> Dict[str, float]:
         block = min(self.eval_batch_size, max(1, len(q_features)))
-        if self.mesh is not None and self._sims_fn is None:
+        if self.mesh is not None:
             ranks = np.asarray(best_positive_ranks_sharded(
                 q_features, g_features, q_labels, g_labels, self.mesh,
-                block_size=block))
+                block_size=block, sims_fn=self._sims_fn))
         else:
             ranks = np.asarray(best_positive_ranks(
                 jnp.asarray(q_features), jnp.asarray(g_features),
@@ -328,8 +361,10 @@ class RetrievalEvaluator:
         return self.evaluate(loader, extract_fn, n_crossfolds)
 
     def evaluate(self, loader, extract_fn,
-                 n_crossfolds: Optional[int] = None) -> Dict:
-        feats = self.extract_features(loader, extract_fn)
+                 n_crossfolds: Optional[int] = None,
+                 extract_chunk_fn: Optional[Callable] = None) -> Dict:
+        feats = self.extract_features(loader, extract_fn,
+                                      extract_chunk_fn=extract_chunk_fn)
         scores: Dict = {}
         n_crossfolds = (self.n_crossfolds if n_crossfolds is None
                         else n_crossfolds)

@@ -226,6 +226,12 @@ class ServerEngine:
     def train_step(self, state: EngineState, images, captions, lengths,
                    bert_mask, dropout_rng
                    ) -> Tuple[EngineState, Dict[str, jnp.ndarray]]:
+        return self._train_core(state, images, captions, lengths,
+                                bert_mask, dropout_rng)
+
+    def _train_core(self, state: EngineState, images, captions, lengths,
+                    bert_mask, dropout_rng
+                    ) -> Tuple[EngineState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
             out, mut = self.model.apply(
                 {"params": params["model"],
@@ -275,6 +281,127 @@ class ServerEngine:
             images, captions, lengths, bert_mask, train=False)
         return out["image_features"], out["caption_features"]
 
+    # -- chunked sweeps -------------------------------------------------
+    # The extract/eval sweeps are forward-only, so per-batch time is
+    # milliseconds and the loops are DISPATCH-bound on a remote device
+    # (~2 ms tunnel RTT per call; the eval extract floor was ~3 s of
+    # pure RTT at paper geometry — BENCH.md round-3 pinning). A lax.scan
+    # over a [k, B, ...] chunk of batches amortizes the dispatch k-fold;
+    # the per-step math is identical to the per-batch programs.
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def extract_chunk(self, state: EngineState, images, captions,
+                      lengths, bert_mask, base_rng):
+        """``extract_step`` over k stacked batches in ONE dispatch.
+
+        BN running stats thread through the scan carry exactly as the
+        per-batch loop threads them through successive calls; dropout
+        keys derive per step by fold_in (fresh iid noise per batch,
+        MMFL.py:197-218 train-mode extraction parity).
+        Returns ([k,B,E] img, [k,B,E] txt, new_batch_stats)."""
+        steps = jnp.arange(images.shape[0])
+        has_mask = bert_mask is not None
+
+        def body(bs, inp):
+            if has_mask:
+                img, cap, lens, bm, i = inp
+            else:
+                img, cap, lens, i = inp
+                bm = None
+            out, mut = self.model.apply(
+                {"params": state.params["model"], "batch_stats": bs},
+                img, cap, lens, bm, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(base_rng, i)})
+            return (mut.get("batch_stats", {}),
+                    (out["image_features"], out["caption_features"]))
+
+        xs = ((images, captions, lengths, bert_mask, steps) if has_mask
+              else (images, captions, lengths, steps))
+        batch_stats, (fi, ft) = jax.lax.scan(body, state.batch_stats, xs)
+        return fi, ft, batch_stats
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_chunk(self, state: EngineState, images, captions, lengths,
+                   bert_mask):
+        """``eval_step`` over k stacked batches in ONE dispatch
+        (eval-mode BN: stateless). Returns ([k,B,E], [k,B,E])."""
+        has_mask = bert_mask is not None
+
+        def body(_, inp):
+            if has_mask:
+                img, cap, lens, bm = inp
+            else:
+                img, cap, lens = inp
+                bm = None
+            out = self.model.apply(
+                {"params": state.params["model"],
+                 "batch_stats": state.batch_stats},
+                img, cap, lens, bm, train=False)
+            return None, (out["image_features"],
+                          out["caption_features"])
+
+        xs = ((images, captions, lengths, bert_mask) if has_mask
+              else (images, captions, lengths))
+        _, (fi, ft) = jax.lax.scan(body, None, xs)
+        return fi, ft
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_chunk(self, state: EngineState, images, captions, lengths,
+                    bert_mask, base_rng
+                    ) -> Tuple[EngineState, jnp.ndarray]:
+        """``train_step`` over k stacked batches in ONE dispatch: the
+        scan carries the FULL engine state (params + AdamP moments + BN
+        stats), so step t+1 sees exactly the state the per-batch loop
+        would hand it; dropout keys derive per step by fold_in.
+        Returns (new_state, [k] losses)."""
+        steps = jnp.arange(images.shape[0])
+        has_mask = bert_mask is not None
+
+        def body(st, inp):
+            if has_mask:
+                img, cap, lens, bm, i = inp
+            else:
+                img, cap, lens, i = inp
+                bm = None
+            st, ldict = self._train_core(st, img, cap, lens, bm,
+                                         jax.random.fold_in(base_rng, i))
+            return st, ldict["loss"]
+
+        xs = ((images, captions, lengths, bert_mask, steps) if has_mask
+              else (images, captions, lengths, steps))
+        return jax.lax.scan(body, state, xs)
+
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 8, 9, 10), donate_argnums=(1,))
+    def distill_chunk(self, state: EngineState, images, captions,
+                      lengths, bert_mask,
+                      aggregated: Dict[str, jnp.ndarray],
+                      rows: jnp.ndarray,
+                      use_img: bool, use_txt: bool, use_mm: bool,
+                      kd_weight: float, base_rng
+                      ) -> Tuple[EngineState, jnp.ndarray]:
+        """``distill_step`` over k stacked batches in ONE dispatch
+        (full-state scan carry, fold_in dropout keys); ``rows`` is
+        [k, B]. Returns (new_state, [k] losses)."""
+        steps = jnp.arange(images.shape[0])
+        has_mask = bert_mask is not None
+
+        def body(st, inp):
+            if has_mask:
+                img, cap, lens, bm, r, i = inp
+            else:
+                img, cap, lens, r, i = inp
+                bm = None
+            st, loss = self._distill_core(
+                st, img, cap, lens, bm, aggregated, r, use_img, use_txt,
+                use_mm, kd_weight, jax.random.fold_in(base_rng, i))
+            return st, loss
+
+        xs = ((images, captions, lengths, bert_mask, rows, steps)
+              if has_mask else (images, captions, lengths, rows, steps))
+        return jax.lax.scan(body, state, xs)
+
     @functools.partial(jax.jit,
                        static_argnums=(0, 8, 9, 10), donate_argnums=(1,))
     def distill_step(self, state: EngineState, images, captions, lengths,
@@ -290,7 +417,15 @@ class ServerEngine:
         device."""
         if dropout_rng is None:
             dropout_rng = jax.random.PRNGKey(0)
+        return self._distill_core(state, images, captions, lengths,
+                                  bert_mask, aggregated, rows, use_img,
+                                  use_txt, use_mm, kd_weight, dropout_rng)
 
+    def _distill_core(self, state: EngineState, images, captions,
+                      lengths, bert_mask, aggregated, rows,
+                      use_img: bool, use_txt: bool, use_mm: bool,
+                      kd_weight: float, dropout_rng
+                      ) -> Tuple[EngineState, jnp.ndarray]:
         def loss_fn(params):
             out, mut = self.model.apply(
                 {"params": params["model"],

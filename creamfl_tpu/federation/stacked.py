@@ -426,26 +426,87 @@ def _feat_prog(engine, lowering: str, uni: bool):
     return jax.jit(_client_map(engine.features_step, (0, None), lowering))
 
 
+@functools.lru_cache(maxsize=None)
+def _feat_chunk_prog(engine, lowering: str, uni: bool):
+    """k stacked batches -> ONE dispatch for the rep sweeps (forward-
+    only and dispatch-bound exactly like the contrast chunks; the
+    per-step math is ``_feat_prog``'s). Features come back client-major
+    ([C, k*B, d]) so callers concatenate chunked and per-batch parts on
+    the same axis. Uni threads the stacked states (BN running stats)
+    through the scan carry."""
+    def fold(f):  # [k, C, B, d] -> [C, k*B, d]
+        return jnp.moveaxis(f, 0, 1).reshape(
+            f.shape[1], -1, f.shape[-1])
+
+    if uni:
+        def one(st, b):
+            feats, bs = engine.features_step(st, b)
+            return feats, st.replace(batch_stats=bs)
+
+        mapped = _client_map(one, (0, None), lowering)
+
+        def chunk(stacked, batches):
+            def body(carry, b):
+                feats, new_stacked = mapped(carry, b)
+                return new_stacked, feats
+
+            stacked, feats = jax.lax.scan(body, stacked, batches)
+            return fold(feats), stacked
+
+        return jax.jit(chunk)
+
+    mapped = _client_map(engine.features_step, (0, None), lowering)
+
+    def chunk(stacked, batches):
+        def body(_, b):
+            return None, mapped(stacked, b)
+
+        _, (fi, ft) = jax.lax.scan(body, None, batches)
+        return fold(fi), fold(ft)
+
+    return jax.jit(chunk)
+
+
 def _stacked_feats(engine, states, pub_loader, device_batch_fn, sharding,
                    uni: bool):
     """Shared sweep for rep extraction: [list of per-batch stacked
     features], valid-row dataset indices (uni), valid count, and the
-    final stacked states (BN stats advance during the uni sweep)."""
+    final stacked states (BN stats advance during the uni sweep).
+    Uniform multi-batch groups run as one scanned dispatch."""
     stacked = _place(stack_states(list(states)), sharding)
-    vfeat = _feat_prog(engine, _lowering_for(sharding), uni)
+    lowering = _lowering_for(sharding)
+    vfeat = _feat_prog(engine, lowering, uni)
+    chunk_prog = _feat_chunk_prog(engine, lowering, uni)
     parts, idx_parts, n_valid = [], [], 0
-    for batch in pub_loader:
-        out = vfeat(stacked,
-                    _replicate_committed(device_batch_fn(batch), sharding))
-        if uni:
-            feats, stacked = out
-        else:
-            feats = out
+
+    def meta(batch):
+        nonlocal n_valid
         valid = np.asarray(batch["valid"])
         n_valid += _suffix_valid(valid)
-        parts.append(feats)
         if uni:
             idx_parts.append(np.asarray(batch["index"])[valid])
+
+    for group in _chunks(iter(pub_loader), SCAN_CHUNK):
+        if len(group) > 1 and _uniform_batches(group):
+            batches = _replicate_committed(_stack_chunk(group), sharding)
+            if uni:
+                feats, stacked = chunk_prog(stacked, batches)
+            else:
+                feats = chunk_prog(stacked, batches)
+            parts.append(feats)
+            for b in group:
+                meta(b)
+            continue
+        for batch in group:
+            out = vfeat(stacked,
+                        _replicate_committed(device_batch_fn(batch),
+                                             sharding))
+            if uni:
+                feats, stacked = out
+            else:
+                feats = out
+            parts.append(feats)
+            meta(batch)
     return parts, idx_parts, n_valid, stacked
 
 

@@ -109,6 +109,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument('--mesh_devices', type=int, default=0,
                         help='cap the mesh to the first N devices '
                              '(0 = all)')
+    parser.add_argument('--stack_bucket', type=str, default='even',
+                        choices=['none', 'even', 'pow2'],
+                        help='single-device family-stack padding policy:'
+                             ' bucket sampled family sizes to stable '
+                             'shapes so rounds reuse compiled programs '
+                             '(pad slots are masked)')
     parser.add_argument('--coco_subset_idx', type=str, default=None,
                         help='frozen public-subset index file (default: '
                              'the packaged reference artifact)')

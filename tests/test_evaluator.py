@@ -128,3 +128,35 @@ def test_best_positive_ranks_sharded_matches_single(rng):
         jnp.asarray(q), jnp.asarray(g), jnp.asarray(ql),
         jnp.asarray(gl), block_size=8))
     np.testing.assert_array_equal(got, single)
+
+
+def test_matching_prob_eval_sharded_matches_single(rng):
+    """matching_prob mode on a mesh: the sims_fn (MatchingProbModule,
+    eval_coco.py:54-72) rides the sharded ranking path and agrees with
+    the single-device evaluator (VERDICT r3 #9 — this mode previously
+    fell back to one device whenever a mesh was active)."""
+    import jax
+
+    from creamfl_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    crit = {"shift": jnp.asarray([0.3]),
+            "negative_scale": jnp.asarray([2.0])}
+    q = rng.normal(size=(29, 8)).astype(np.float32)
+    g = rng.normal(size=(23, 8)).astype(np.float32)
+    ql = rng.integers(0, 7, size=(29,))
+    gl = np.concatenate([np.arange(7), rng.integers(0, 7, size=(16,))])
+
+    ev_single = RetrievalEvaluator(eval_method="matching_prob",
+                                   criterion_params=crit)
+    ev_mesh = RetrievalEvaluator(eval_method="matching_prob",
+                                 criterion_params=crit,
+                                 mesh=make_mesh(n_client=4, n_data=2))
+    s_single = ev_single.evaluate_recall(q, g, ql, gl)
+    s_mesh = ev_mesh.evaluate_recall(q, g, ql, gl)
+    assert s_single == s_mesh
+    # And it really is probability-ranked, not dot-ranked: a matmul
+    # evaluator on the same features must disagree somewhere (the l2
+    # distance reorders unnormalized galleries).
+    s_dot = RetrievalEvaluator().evaluate_recall(q, g, ql, gl)
+    assert s_dot != s_mesh
