@@ -59,36 +59,57 @@ def _run(tmp_path, n_rounds=ROUNDS, **kw):
         client_data_size=32, test_size=16, retrieval_test_size=60,
         batch_size=16)
     algo = MMFL(args, datasets, server_cfg, mm_cfg, bert_config=bert_cfg)
+    # Untrained baseline: the learnability claim is trained >> this.
+    base = algo.evaluate()
+    baseline = base["i2t"]["rsum"] + base["t2i"]["rsum"]
     rsums = []
     for rn in range(n_rounds):
         scores = algo.train(rn)
         rsums.append(scores["i2t"]["rsum"] + scores["t2i"]["rsum"])
-    return algo, rsums
+    return algo, rsums, baseline
 
 
 @pytest.fixture(scope="module")
 def runs(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("learn")
-    full_algo, full_rsums = _run(tmp / "full")
-    nod_algo, nod_rsums = _run(tmp / "nodistill", n_rounds=2,
-                               disable_distill=True)
-    noc_algo, noc_rsums = _run(tmp / "nocontrast", n_rounds=2,
-                               contrast_local_inter=False,
-                               contrast_local_intra=False)
+    full_algo, full_rsums, full_base = _run(tmp / "full")
+    nod_algo, nod_rsums, _ = _run(tmp / "nodistill", n_rounds=2,
+                                  disable_distill=True)
+    noc_algo, noc_rsums, _ = _run(tmp / "nocontrast", n_rounds=2,
+                                  contrast_local_inter=False,
+                                  contrast_local_intra=False)
     return (full_algo, full_rsums, nod_algo, nod_rsums, noc_algo,
-            noc_rsums)
+            noc_rsums, full_base)
 
 
-def test_server_improves_over_rounds(runs):
-    _, full_rsums, *_ = runs
-    assert max(full_rsums[1:]) > full_rsums[0], full_rsums
-    # And the model is far past chance by the final round (60-caption
-    # gallery: chance rsum ~ r1+r5+r10 ≈ 1.7+8.3+16.7 per direction).
-    assert full_rsums[-1] > 120, full_rsums
+def test_server_retrieval_stays_far_past_chance(runs):
+    """What 3 tiny federated rounds CAN prove about the round loop.
+
+    Measured reality check: the untrained baseline rsum here is ~292 —
+    synthetic concept-aligned captions are retrievable by RANDOM
+    features (random projections preserve the shared concept vector),
+    so "trained beats untrained" is not demonstrable at this scale and
+    round-over-round monotonicity flips with fp codegen (the AVX2 pin
+    in conftest vs default ISA). True trained-beats-untrained evidence
+    lives in test_learnability.py (32 server steps on the train set:
+    +20 rsum per direction over the untrained model).
+
+    What IS asserted: through 3 full federated rounds (server epochs,
+    con_w distillation, client contrast) retrieval stays far past
+    chance (60-caption gallery: chance rsum ~ 2x(1.7+8.3+16.7) = 53)
+    and in the baseline's band. The bug class this catches is real:
+    a misaligned distill row mapping, wrong con_w softmax direction,
+    or feature/index misordering in the chunked sweeps actively trains
+    the embedding toward WRONG targets and craters rsum toward chance
+    within a round or two."""
+    full_rsums, full_base = runs[1], runs[6]
+    assert full_base > 200, full_base  # random-feature premise holds
+    assert all(r > 120 for r in full_rsums), (full_base, full_rsums)
+    assert full_rsums[-1] > 0.55 * full_base, (full_base, full_rsums)
 
 
 def test_disable_distill_changes_server_trajectory(runs):
-    full_algo, _, nod_algo, _, _, _ = runs
+    full_algo, _, nod_algo = runs[0], runs[1], runs[2]
     # Identical seeds/data; only the distill phase differs — the server
     # params must measurably diverge (the phase is live).
     a = np.concatenate([np.asarray(x).ravel() for x in
@@ -103,7 +124,7 @@ def test_disable_distill_changes_server_trajectory(runs):
 
 
 def test_no_contrast_changes_client_trajectory(runs):
-    full_algo, _, _, _, noc_algo, _ = runs
+    full_algo, noc_algo = runs[0], runs[4]
     diffs = []
     for cf, cn in zip(full_algo.clients, noc_algo.clients):
         a = np.concatenate([np.asarray(x).ravel()
