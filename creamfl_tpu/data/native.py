@@ -75,9 +75,19 @@ def build(quiet: bool = True) -> bool:
 
 
 class NativeVocab:
-    """Native hash-map vocab bound to a python Vocabulary."""
+    """Native hash-map vocab bound to a python Vocabulary.
+
+    Picklable: the CDLL handle and the C vocab pointer are process-
+    local, so pickling ships only the python Vocabulary and the handle
+    rebuilds lazily in the receiving process (grain worker_count>0
+    pickles datasets — and through them this object — into fresh
+    worker processes at loader construction)."""
 
     def __init__(self, vocab):
+        self._vocab = vocab
+        self._bind(vocab)
+
+    def _bind(self, vocab):
         lib = _load()
         if lib is None:
             raise RuntimeError("native library not built")
@@ -89,6 +99,13 @@ class NativeVocab:
         self._handle = lib.vocab_create(
             arr, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(words), vocab("<start>"), vocab("<end>"), vocab("<unk>"))
+
+    def __getstate__(self):
+        return {"_vocab": self._vocab}
+
+    def __setstate__(self, state):
+        self._vocab = state["_vocab"]
+        self._bind(self._vocab)
 
     def __del__(self):
         try:
