@@ -395,55 +395,30 @@ class MMFL:
         """pub_data_ratio < 1 trains on a fraction of the public epoch
         (reference TrainerEngine.train pub_data_ratio arg).
 
-        Single-device, full uniform groups run as ONE scanned dispatch
-        (``server.train_chunk``: identical per-step math, state threads
-        through the scan carry) — at ~106 ms/batch the ~2 ms dispatch
-        RTT is small but free to remove; the mesh path keeps per-batch
-        programs (DP sharding already amortizes)."""
+        Stays PER-BATCH deliberately (``server.train_chunk`` exists and
+        is equivalence-tested): at ~104 ms/step the async dispatch
+        queue already hides the ~2 ms RTT, and the chunk path's
+        per-chunk jnp.stack of device-synthesized image batches COPIES
+        them — measured +9 s on the 40.5 s paper server epoch
+        (BENCH.md round-4 deltas). Chunking pays only on the
+        millisecond-scale forward sweeps (extraction/eval/reps)."""
         losses = []
         n_batches = len(self.datasets["pub_train"])
         stop_at = int(n_batches * pub_data_ratio)
-
-        def batches():
-            for idx, batch in enumerate(self.datasets["pub_train"]):
-                if pub_data_ratio < 1.0 and idx == stop_at:
-                    return
-                yield batch
-
-        def one_batch(batch):
+        for idx, batch in enumerate(self.datasets["pub_train"]):
+            if pub_data_ratio < 1.0 and idx == stop_at:
+                break
             images, captions, lengths, bert_mask = self._server_inputs(
                 batch)
             self.key, sub = jax.random.split(self.key)
             self.server_state, ldict = self.server.train_step(
                 self.server_state, images, captions, lengths, bert_mask,
                 sub)
-            losses.append(ldict["loss"][None])
-
-        if self.mesh is None:
-            from creamfl_tpu.federation.stacked import (_chunks,
-                                                        _uniform_batches)
-
-            self.key, epoch_key = jax.random.split(self.key)
-            ci = 0
-            for group in _chunks(batches(), SERVER_SCAN_CHUNK):
-                if len(group) == 1 or not _uniform_batches(group):
-                    for batch in group:
-                        one_batch(batch)
-                    continue
-                images, captions, lengths, bert_mask = (
-                    self._stack_server_chunk(group))
-                self.server_state, ls = self.server.train_chunk(
-                    self.server_state, images, captions, lengths,
-                    bert_mask, jax.random.fold_in(epoch_key, ci))
-                ci += 1
-                losses.append(ls)
-        else:
-            for batch in batches():
-                one_batch(batch)
+            losses.append(ldict["loss"])
         if losses:
             self.logger.log(
                 f"server epoch loss "
-                f"{float(jnp.mean(jnp.concatenate(losses))):.2f}")
+                f"{float(jnp.mean(jnp.stack(losses))):.2f}")
 
     def _stack_server_chunk(self, group):
         """[k] raw batches -> stacked [k, B, ...] server inputs (images
@@ -818,7 +793,12 @@ class MMFL:
             aggregated = jax.device_put(aggregated, self._repl_sharding)
         # (jnp.take clamps out-of-range rows, so the 1-row placeholder
         # is safe for the unused modality.)
-        def one_batch(batch):
+        # Per-batch deliberately — same measurement as
+        # _server_train_epoch: fwd+bwd steps hide dispatch RTT behind
+        # the async queue, and chunk-stacking device-synthesized images
+        # costs a copy per batch (distill_chunk stays equivalence-
+        # tested for hosts where the loader feeds host arrays).
+        for batch in self.datasets["pub_train"]:
             rows = self._batch_rows(batch)
             images, captions, lengths, bert_mask = self._server_inputs(
                 batch)
@@ -827,34 +807,6 @@ class MMFL:
                 self.server_state, images, captions, lengths, bert_mask,
                 aggregated, rows, use_img, use_txt, use_mm,
                 args.kd_weight, sub)
-
-        if self.mesh is None:
-            # Scanned chunks amortize per-batch dispatch, same pattern
-            # as _server_train_epoch (mesh path stays per-batch).
-            from creamfl_tpu.federation.stacked import (_chunks,
-                                                        _uniform_batches)
-
-            self.key, epoch_key = jax.random.split(self.key)
-            ci = 0
-            for group in _chunks(iter(self.datasets["pub_train"]),
-                                 SERVER_SCAN_CHUNK):
-                if len(group) == 1 or not _uniform_batches(group):
-                    for batch in group:
-                        one_batch(batch)
-                    continue
-                images, captions, lengths, bert_mask = (
-                    self._stack_server_chunk(group))
-                rows = np.stack([np.asarray(self._batch_rows(b))
-                                 for b in group])
-                self.server_state, _ = self.server.distill_chunk(
-                    self.server_state, images, captions, lengths,
-                    bert_mask, aggregated, rows, use_img, use_txt,
-                    use_mm, args.kd_weight,
-                    jax.random.fold_in(epoch_key, ci))
-                ci += 1
-        else:
-            for batch in self.datasets["pub_train"]:
-                one_batch(batch)
 
     # -- evaluation -----------------------------------------------------
     def _extract_eval(self, batch):
