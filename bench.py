@@ -235,17 +235,25 @@ def main():
     conw_dt = bench_conw(on_tpu)
 
     # Measured paper-scale round (written by a --paper_scale run via
-    # tools/record_paper_round.py; measured, not projected).
-    measured_round = None
+    # tools/record_paper_round.py; measured, not projected). Only the
+    # headline numbers go into the one-line JSON — the full history
+    # stays in PAPER_ROUND.json (the driver's tail-capture choked on
+    # the embedded multi-KB record in rounds 3-4).
+    paper_round = None
     try:
         import os
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "PAPER_ROUND.json")
         if os.path.exists(path):
             with open(path) as f:
-                measured_round = json.load(f)
+                full = json.load(f)
+            paper_round = {
+                "steady_round_s": full.get("steady_round_s"),
+                "cold_round_s": full.get("cold_round_s"),
+                "file": "PAPER_ROUND.json",
+            }
     except Exception:
-        measured_round = None
+        paper_round = None
 
     result = {
         "metric": "server PCME(R101+BERT) train-step throughput"
@@ -261,13 +269,24 @@ def main():
             "contrast_step_samples_per_s": round(contrast_sps, 2),
             "contrast_step_ms": round(contrast_dt * 1e3, 2),
             "conw_aggregate_s": round(conw_dt, 4),
-            "measured_paper_round": measured_round,
+            "paper_round": paper_round,
             "baseline_note": "vs 500 samples/s reference roofline "
-                             "(V100 fp16; derivation in bench.py docstring "
-                             "+ tools/torch_anchor.py)",
+                             "(bench.py docstring + tools/torch_anchor.py)",
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    assert len(line) < 1500, "bench JSON line must stay compact"
+    print(line)
+    import sys
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # Hard-exit: the remote-TPU tunnel client's teardown has aborted the
+    # process AFTER a successful print twice (rc=134, "FATAL: exception
+    # not rethrown" from a detached thread in its atexit path), turning
+    # good benchmark runs into driver failures. The JSON is already on
+    # stdout and flushed; skip interpreter teardown entirely.
+    import os
+    os._exit(0)
 
 
 if __name__ == "__main__":
