@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import random
 import re
+import unicodedata
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -63,12 +64,49 @@ def caption_to_ids(sentence, vocab, caption_drop_prob: float = 0.0,
 # creamfl_tpu/models/bert.py docstring)
 # ---------------------------------------------------------------------------
 
-_PUNCT_RE = re.compile(
-    r"[!-/:-@\[-`{-~]")  # ASCII punctuation ranges (BERT basic tokenizer)
+
+def _is_bert_whitespace(ch: str) -> bool:
+    # " \t\n\r" plus any unicode space separator (Zs).
+    return ch in " \t\n\r" or unicodedata.category(ch) == "Zs"
+
+
+def _is_bert_control(ch: str) -> bool:
+    # \t\n\r count as whitespace, everything else in category C* is
+    # stripped by the cleaner.
+    if ch in "\t\n\r":
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_bert_punctuation(ch: str) -> bool:
+    # The original BERT treats all non-letter/number ASCII as
+    # punctuation ("^" or "$" included) plus every unicode P* char.
+    cp = ord(ch)
+    if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+            or 123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk_codepoint(cp: int) -> bool:
+    # CJK Unified Ideographs blocks (spaced out so each ideograph
+    # becomes its own word, per the original BERT basic tokenizer).
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
 
 class BertWordPieceTokenizer:
     """Greedy longest-match WordPiece over a BERT vocab.
+
+    Reproduces ``transformers.BertTokenizer`` (the slow python one the
+    reference instantiates at `src/networks/models/pcme.py:32` and runs
+    in-forward at `pcme.py:40-44`) for ``do_lower_case=True`` defaults:
+    control-char cleanup, CJK spacing, NFC normalization, lowercasing,
+    accent stripping (NFD, drop Mn), unicode punctuation splitting, then
+    greedy ``##`` WordPiece with the 100-char [UNK] bail. Fuzz-verified
+    against the HF implementation in tests/test_wordpiece_fuzz.py.
 
     ``vocab`` maps token -> id and must contain [CLS]/[SEP]/[UNK]/[PAD].
     Load from an HF ``vocab.txt`` when available (``from_vocab_file``);
@@ -103,8 +141,40 @@ class BertWordPieceTokenizer:
         return tok
 
     def _basic_tokens(self, text: str) -> List[str]:
-        text = _PUNCT_RE.sub(lambda m: f" {m.group(0)} ", text.lower())
-        return text.split()
+        # Clean (drop NUL/U+FFFD/control, normalize whitespace) and
+        # space out CJK ideographs in one pass, then NFC-normalize —
+        # the same order the HF BasicTokenizer applies.
+        buf = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_bert_control(ch):
+                continue
+            if _is_bert_whitespace(ch):
+                buf.append(" ")
+            elif _is_cjk_codepoint(cp):
+                buf.append(f" {ch} ")
+            else:
+                buf.append(ch)
+        text = unicodedata.normalize("NFC", "".join(buf))
+        out: List[str] = []
+        for token in text.split():
+            # do_lower_case=True implies accent stripping (NFD, drop
+            # combining marks) in the original BERT.
+            token = unicodedata.normalize("NFD", token.lower())
+            word = []
+            for ch in token:
+                if unicodedata.category(ch) == "Mn":
+                    continue
+                if _is_bert_punctuation(ch):
+                    if word:
+                        out.append("".join(word))
+                        word = []
+                    out.append(ch)
+                else:
+                    word.append(ch)
+            if word:
+                out.append("".join(word))
+        return out
 
     def _wordpiece(self, word: str) -> List[int]:
         if getattr(self, "_synthetic_n", None):
