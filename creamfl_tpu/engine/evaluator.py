@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from creamfl_tpu.parallel.mesh import to_host
+
 
 @functools.partial(jax.jit, static_argnames=("block_size", "sims_fn"))
 def best_positive_ranks(q_features: jnp.ndarray, g_features: jnp.ndarray,
@@ -245,9 +247,11 @@ class RetrievalEvaluator:
                 fi, fc = extract_chunk_fn(group)
                 accumulate(fi, fc, group)
         valid_all = np.concatenate(valids)
-        all_img = np.asarray(jnp.concatenate(
+        # to_host (not np.asarray): extraction outputs are DP-sharded
+        # global arrays on a multi-process mesh — gather once.
+        all_img = to_host(jnp.concatenate(
             [jnp.asarray(p) for p in fi_parts]))[valid_all]
-        cap_feats = np.asarray(jnp.concatenate(
+        cap_feats = to_host(jnp.concatenate(
             [jnp.asarray(p) for p in fc_parts]))[valid_all]
         cap_img_ids = np.concatenate(id_parts).astype(np.int64)
         cap_ann_ids = np.concatenate(ann_parts).astype(np.int64)
@@ -299,7 +303,7 @@ class RetrievalEvaluator:
                         g_labels) -> Dict[str, float]:
         block = min(self.eval_batch_size, max(1, len(q_features)))
         if self.mesh is not None:
-            ranks = np.asarray(best_positive_ranks_sharded(
+            ranks = to_host(best_positive_ranks_sharded(
                 q_features, g_features, q_labels, g_labels, self.mesh,
                 block_size=block, sims_fn=self._sims_fn))
         else:

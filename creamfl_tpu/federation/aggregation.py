@@ -132,7 +132,9 @@ def con_w_aggregate(client_reps: jnp.ndarray, global_other: jnp.ndarray,
             f"axis {n_dev}; pad via _bucketed(multiple_of={n_dev})")
         prog, sharding = _con_w_mesh_prog(mesh, axis, row_block,
                                           col_block, use_pallas)
-        client_reps = jax.device_put(jnp.asarray(client_reps), sharding)
+        from creamfl_tpu.parallel.mesh import put_global
+
+        client_reps = put_global(jnp.asarray(client_reps), sharding)
         if k_mask is None:
             k_mask = jnp.ones((client_reps.shape[0],), bool)
         return prog(client_reps, global_other, k_mask)

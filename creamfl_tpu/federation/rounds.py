@@ -35,6 +35,7 @@ from creamfl_tpu.engine.evaluator import RetrievalEvaluator
 from creamfl_tpu.engine.server import ServerEngine
 from creamfl_tpu.data.loaders import suffix_valid
 from creamfl_tpu.federation.aggregation import aggregate_modalities
+from creamfl_tpu.parallel.mesh import put_global, to_host
 from creamfl_tpu.utils.checkpoint import RoundCheckpointer
 from creamfl_tpu.utils.logging import NoOpTracker, PythonLogger
 from creamfl_tpu.utils.serialize import save_checkpoint
@@ -148,8 +149,8 @@ class MMFL:
         if self.mesh is not None:
             # Server params live replicated over the WHOLE mesh so the
             # DP-sharded batches below partition the compute.
-            self.server_state = jax.device_put(self.server_state,
-                                               self._repl_sharding)
+            self.server_state = put_global(self.server_state,
+                                           self._repl_sharding)
 
         self.best_score = 0.0
         self.best_scores = None
@@ -236,7 +237,7 @@ class MMFL:
             self.logger.log(
                 f"server phases: batches sharded {sh.spec} over "
                 f"{self.mesh.size} devices")
-        return jax.device_put(a, sh)
+        return put_global(a, sh)
 
     def _client_batch(self, batch):
         """Per-client (non-stacked) batches: on a mesh, keep host arrays
@@ -272,8 +273,8 @@ class MMFL:
             return 0
         self.server_state = jax.tree.map(jnp.asarray, restored["server"])
         if self.mesh is not None:
-            self.server_state = jax.device_put(self.server_state,
-                                               self._repl_sharding)
+            self.server_state = put_global(self.server_state,
+                                           self._repl_sharding)
         for c, s in zip(self.clients, restored["clients"]):
             c.state = jax.tree.map(jnp.asarray, s)
         self.best_score = float(restored["meta"].get("best_score", 0.0))
@@ -502,9 +503,9 @@ class MMFL:
             # them replicated once (one all-gather over ICI) instead of
             # letting every client program re-gather the DP-sharded
             # concat output.
-            self.global_img_feature = jax.device_put(
+            self.global_img_feature = put_global(
                 self.global_img_feature, self._repl_sharding)
-            self.global_txt_feature = jax.device_put(
+            self.global_txt_feature = put_global(
                 self.global_txt_feature, self._repl_sharding)
         self.distill_index = np.concatenate(index_parts).astype(np.int64)
         # Dense index->row lookup table (the public-set dataset indices
@@ -598,7 +599,7 @@ class MMFL:
             # BN running-stat update persists (ClientTrainer.py:552).
             client.state = client.state.replace(batch_stats=bs)
             valid = np.asarray(batch["valid"])
-            parts.append(np.asarray(feats)[valid])
+            parts.append(to_host(feats)[valid])
             idx_parts.append(np.asarray(batch["index"])[valid])
         order = np.concatenate(idx_parts)
         assert np.array_equal(order, self.distill_index), \
@@ -639,8 +640,8 @@ class MMFL:
             fi, ft = client.engine.features_step(client.state,
                                                  self._client_batch(batch))
             valid = np.asarray(batch["valid"])
-            img_parts.append(np.asarray(fi)[valid])
-            txt_parts.append(np.asarray(ft)[valid])
+            img_parts.append(to_host(fi)[valid])
+            txt_parts.append(to_host(ft)[valid])
         return {"img": np.concatenate(img_parts),
                 "txt": np.concatenate(txt_parts)}
 
@@ -790,7 +791,7 @@ class MMFL:
         aggregated = {"img": img_agg if img_agg is not None else zeros,
                       "txt": txt_agg if txt_agg is not None else zeros}
         if self.mesh is not None:
-            aggregated = jax.device_put(aggregated, self._repl_sharding)
+            aggregated = put_global(aggregated, self._repl_sharding)
         # (jnp.take clamps out-of-range rows, so the 1-row placeholder
         # is safe for the unused modality.)
         # Per-batch deliberately — same measurement as

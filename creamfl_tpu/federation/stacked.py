@@ -44,6 +44,7 @@ from creamfl_tpu.engine.state import EngineState
 from creamfl_tpu.parallel.client_parallel import (_stack_prog,
                                                   stack_states,
                                                   unstack_states)
+from creamfl_tpu.parallel.mesh import put_global
 
 
 def _stack_trees(trees):
@@ -196,7 +197,7 @@ def _place(tree, sharding):
     then partitions the vmapped program; single-device = no-op)."""
     if sharding is None or tree is None or tree == {}:
         return tree
-    return jax.device_put(tree, sharding)
+    return put_global(tree, sharding)
 
 
 def _place_stacked_batch(batch, sharding):
@@ -207,7 +208,7 @@ def _place_stacked_batch(batch, sharding):
     but an explicit put keeps the transfer deterministic."""
     if sharding is None:
         return batch
-    return {k: (jax.device_put(v, sharding)
+    return {k: (put_global(v, sharding)
                 if hasattr(v, "ndim") and v.ndim >= 1 else v)
             for k, v in batch.items()}
 
@@ -221,7 +222,7 @@ def _replicate_committed(batch, sharding):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(sharding.mesh, P())
-    return {k: (jax.device_put(v, repl) if isinstance(v, jax.Array)
+    return {k: (put_global(v, repl) if isinstance(v, jax.Array)
                 else v)
             for k, v in batch.items()}
 
@@ -284,7 +285,7 @@ def stacked_task_epoch(engine, states: Sequence[EngineState], loaders,
     n_pad = n_slots - len(iters)
     assert n_pad >= 0, (n_slots, len(iters))
     if epoch_keys is not None and sharding is not None:
-        epoch_keys = jax.device_put(epoch_keys, sharding)
+        epoch_keys = put_global(epoch_keys, sharding)
     vstep = _task_step_prog(engine, mm, _lowering_for(sharding))
 
     last = [None] * len(iters)

@@ -18,6 +18,7 @@ sequentially and "communication" is host-RAM tensor handoff (SURVEY.md
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -89,3 +90,80 @@ def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
 def client_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding for stacked client pytrees."""
     return NamedSharding(mesh, P("client"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-process-safe placement / readback
+#
+# On a pod slice the round loop runs SPMD: every process executes the
+# identical deterministic host program (same seeds, same data pipeline),
+# so host-side values are process-identical, but jax.device_put of a
+# host array onto a sharding containing NON-ADDRESSABLE devices is
+# invalid. put_global/to_host are the two crossing points the whole
+# round loop uses instead (VERDICT r4 next-step #3; exercised by
+# tests/test_multiprocess_round.py).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _reshard_prog(sharding):
+    """Jitted identity pinned to ``sharding`` — the supported way to
+    re-lay-out an existing global array across processes (XLA inserts
+    the collectives)."""
+    return jax.jit(lambda x: x, out_shardings=sharding)
+
+
+def put_global(tree, sharding):
+    """``jax.device_put(tree, sharding)`` that also works when the
+    sharding spans multiple processes.
+
+    Single-process this IS device_put (the fast committed-transfer
+    path). Multi-process: host arrays are process-identical (SPMD host
+    program), so each process contributes exactly its addressable
+    shards via ``jax.make_array_from_callback``; arrays that are
+    already global reshard through a jitted identity."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put_one(x):
+        if x is None:
+            return None
+        if isinstance(x, jax.Array):
+            if jnp_issubdtype_key(x.dtype):
+                data = np.asarray(to_host(jax.random.key_data(x)))
+                spec = getattr(sharding, "spec", P())
+                data_sh = NamedSharding(sharding.mesh, spec)
+                out = jax.make_array_from_callback(
+                    data.shape, data_sh, lambda idx: data[idx])
+                return jax.random.wrap_key_data(
+                    out, impl=jax.random.key_impl(x))
+            if not x.is_fully_addressable:
+                return _reshard_prog(sharding)(x)
+            x = np.asarray(x)
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    return jax.tree.map(put_one, tree)
+
+
+def jnp_issubdtype_key(dtype) -> bool:
+    try:
+        return jax.dtypes.issubdtype(dtype, jax.dtypes.prng_key)
+    except Exception:
+        return False
+
+
+def to_host(x) -> np.ndarray:
+    """``np.asarray`` that also works for non-addressable (multi-
+    process) arrays. Fully-replicated arrays read their local replica
+    directly (no communication, safe from any one process); anything
+    else resharded to replicated first — that is a COLLECTIVE, so every
+    process of the mesh must reach this call (never gate a to_host of a
+    sharded array behind ``process_index() == 0``)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if not x.is_fully_replicated:
+            mesh = getattr(x.sharding, "mesh", None)
+            if mesh is None:  # pragma: no cover - non-Named shardings
+                raise TypeError(f"cannot gather {x.sharding}")
+            x = _reshard_prog(NamedSharding(mesh, P()))(x)
+    return np.asarray(x)

@@ -16,11 +16,12 @@ import pickle
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    from creamfl_tpu.parallel.mesh import to_host
+
+    return jax.tree.map(to_host, tree)
 
 
 class RoundCheckpointer:
@@ -48,7 +49,12 @@ class RoundCheckpointer:
         """payload: {'server': EngineState-pytree, 'clients': [...],
         'meta': {...}} — anything jax.tree-mappable."""
         path = self._path(round_n)
+        # All processes gather (collective for sharded leaves); one
+        # writes — the payload is process-identical on a multi-process
+        # mesh and concurrent writers would race on the same paths.
         host = _to_host(payload)
+        if jax.process_index() != 0:
+            return path
         if self._orbax is not None:
             self._orbax.save(path, host, force=True)
         else:

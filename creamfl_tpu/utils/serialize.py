@@ -15,7 +15,6 @@ import pickle
 from typing import Any, Dict
 
 import jax
-import numpy as np
 
 
 def flatten_dict(d: Dict[str, Any], sep: str = "_",
@@ -32,15 +31,21 @@ def flatten_dict(d: Dict[str, Any], sep: str = "_",
 
 
 def tree_to_numpy(tree):
-    """Device pytree -> host numpy pytree (for pickling / hashing)."""
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Device pytree -> host numpy pytree (for pickling / hashing).
+    Gathers non-addressable (multi-process mesh) leaves first."""
+    from creamfl_tpu.parallel.mesh import to_host
+
+    return jax.tree.map(to_host, tree)
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
     """Save a checkpoint bundle; returns a sha1 provenance hash
     (reference tags checkpoints with a model hash, retrieval_trainer.py:151-174).
     """
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # Gather BEFORE any process gating: tree_to_numpy of sharded leaves
+    # is a collective on a multi-process mesh — every process must
+    # reach it. Only process 0 touches the filesystem (the payload is
+    # process-identical).
     host_payload = {
         k: tree_to_numpy(v) if k in ("params", "batch_stats", "opt_state",
                                      "criterion_params") else v
@@ -49,8 +54,10 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
     blob = pickle.dumps(host_payload, protocol=pickle.HIGHEST_PROTOCOL)
     sha1 = hashlib.sha1(blob).hexdigest()
     host_payload["sha1"] = sha1
-    with open(path, "wb") as f:
-        pickle.dump(host_payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(host_payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     return sha1
 
 
