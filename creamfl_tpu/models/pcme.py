@@ -53,13 +53,15 @@ class ImageEncoder(nn.Module):
     mlp_local: bool = False
     dtype: Any = jnp.float32
     remat: str = "none"
+    fused_bn: bool = False  # Pallas fused conv+BN bottlenecks (TPU)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
         cnn_dim = resnet_feature_dim(self.cnn_type)
         grid = ResNetBackbone(self.cnn_type, dtype=self.dtype,
-                              remat=self.remat, name="cnn")(images, train)
+                              remat=self.remat, fused_bn=self.fused_bn,
+                              name="cnn")(images, train)
         b, h, w, c = grid.shape
         grid = grid.astype(jnp.float32)
         pooled = global_avg_pool(grid)

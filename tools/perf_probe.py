@@ -139,6 +139,27 @@ def main():
             step, img_p,
             lambda p: jnp.sum(p["fc"]["bias"]), iters=args.iters))
 
+    if "resnet_fused" in parts:
+        from creamfl_tpu.models.pcme import ImageEncoder
+
+        enc = ImageEncoder(cnn_type="resnet101", embed_dim=256,
+                           dtype=jnp.bfloat16, fused_bn=True)
+        variables = jax.jit(enc.init)(jax.random.PRNGKey(0), images)
+        img_p = variables["params"]
+        img_bs = variables.get("batch_stats", {})
+
+        def img_loss(p):
+            out = enc.apply({"params": p, "batch_stats": img_bs}, images,
+                            True, mutable=["batch_stats"])[0]
+            return jnp.sum(jnp.square(out["embedding"]))
+
+        def step(p):
+            g = jax.grad(img_loss)(p)
+            return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+        report("resnet_fused", _time_scan(
+            step, img_p,
+            lambda p: jnp.sum(p["fc"]["bias"]), iters=args.iters))
+
     if "stem" in parts:
         import flax.linen as nn
 
