@@ -136,10 +136,12 @@ class PCME(nn.Module):
     mlp_local: bool = False
     bert_config: BertConfig = BertConfig()
     dtype: Any = jnp.float32
+    fused_bn: bool = False  # opt-in Pallas fused bottlenecks (BENCH.md)
 
     def setup(self):
         self.img_enc = ImageEncoder(self.cnn_type, self.embed_dim,
-                                    self.mlp_local, dtype=self.dtype)
+                                    self.mlp_local, dtype=self.dtype,
+                                    fused_bn=self.fused_bn)
         if self.not_bert:
             self.txt_enc = TextEncoderGRU(self.vocab_size, self.embed_dim,
                                           self.word_dim, self.mlp_local)

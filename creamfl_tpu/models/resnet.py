@@ -149,8 +149,6 @@ class FusedBottleneck(nn.Module):
                              name="downsample_conv")()
             bnp = _BNState(f * self.expansion, name="downsample_bn")()
 
-        ones = jnp.ones((cin,), jnp.float32)
-        zeros = jnp.zeros((cin,), jnp.float32)
         upd = train and not self.is_initializing()
 
         def fold(bn, mean, var):
@@ -174,9 +172,9 @@ class FusedBottleneck(nn.Module):
         x = x.astype(self.dtype)
         x2d = x.reshape(-1, cin)
 
-        # conv1 (1x1) + bn1 stats in one pass.
-        y1, ss1, sq1 = mm_bn_stats(x2d, w1.reshape(cin, f), ones, zeros,
-                                   relu=False)
+        # conv1 (1x1) + bn1 stats in one pass (identity affine: the
+        # block input is already the previous block's relu output).
+        y1, ss1, sq1 = mm_bn_stats(x2d, w1.reshape(cin, f), relu=False)
         n1 = y1.shape[0]
         if train:
             m1, v1 = stats_of(bn1, ss1, sq1, n1)
@@ -218,8 +216,7 @@ class FusedBottleneck(nn.Module):
         if need_proj:
             xs = x[:, ::self.stride, ::self.stride, :].reshape(-1, cin)
             r, ssr, sqr = mm_bn_stats(
-                xs, wp.reshape(cin, f * self.expansion), ones, zeros,
-                relu=False)
+                xs, wp.reshape(cin, f * self.expansion), relu=False)
             if train:
                 mr, vr = stats_of(bnp, ssr, sqr, n2)
             else:

@@ -56,7 +56,8 @@ def mm_bn_stats_reference(x, w, inv, beta, relu: bool):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, w_ref, inv_ref, beta_ref, mvalid_ref,
-                y_ref, s_ref, q_ref, *, relu_in: bool, block_m: int):
+                y_ref, s_ref, q_ref, *, relu_in: bool, block_m: int,
+                identity: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -64,9 +65,19 @@ def _fwd_kernel(x_ref, w_ref, inv_ref, beta_ref, mvalid_ref,
         s_ref[:] = jnp.zeros_like(s_ref)
         q_ref[:] = jnp.zeros_like(q_ref)
 
-    a = x_ref[:].astype(jnp.float32) * inv_ref[0:1, :] + beta_ref[0:1, :]
-    if relu_in:
-        a = jnp.maximum(a, 0.0)
+    if identity:
+        # inv==1, beta==0 statically (conv1 / projection inputs): skip
+        # the fp32 expansion of the whole x block — it was the VPU tax
+        # that made the fwd kernel 3x slower than XLA's conv at s3
+        # geometry (tools/fused_tune_probe.py).
+        a = x_ref[:]
+        if relu_in:
+            a = jnp.maximum(a, jnp.zeros((), a.dtype))
+    else:
+        a = (x_ref[:].astype(jnp.float32) * inv_ref[0:1, :]
+             + beta_ref[0:1, :])
+        if relu_in:
+            a = jnp.maximum(a, 0.0)
     y = jax.lax.dot_general(a.astype(w_ref.dtype), w_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -86,7 +97,7 @@ def _fwd_kernel(x_ref, w_ref, inv_ref, beta_ref, mvalid_ref,
 
 
 def _fwd_pallas(x, w, inv, beta, relu: bool, block_m: int,
-                interpret: bool):
+                interpret: bool, identity: bool = False):
     m, k = x.shape
     n = w.shape[1]
     mp = _round_up(m, block_m)
@@ -103,7 +114,8 @@ def _fwd_pallas(x, w, inv, beta, relu: bool, block_m: int,
 
     grid = (mp // block_m,)
     y, s, q = pl.pallas_call(
-        functools.partial(_fwd_kernel, relu_in=relu, block_m=block_m),
+        functools.partial(_fwd_kernel, relu_in=relu, block_m=block_m,
+                          identity=identity),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, kp), lambda i: (i, 0),
@@ -147,7 +159,7 @@ def _fwd_pallas(x, w, inv, beta, relu: bool, block_m: int,
 
 def _bwd_kernel(x_ref, w_ref, inv_ref, beta_ref, y_ref, dy_ref, dsq_ref,
                 mvalid_ref, dx_ref, dw_ref, dinv_ref, dbeta_ref, *,
-                relu_in: bool, block_m: int):
+                relu_in: bool, block_m: int, identity: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -166,6 +178,22 @@ def _bwd_kernel(x_ref, w_ref, inv_ref, beta_ref, y_ref, dy_ref, dsq_ref,
 
     da = jax.lax.dot_general(dyt_c, w_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if identity:
+        # inv==1, beta==0 statically: a = relu?(x) in the compute dtype
+        # (no fp32 expansion of the x block), dx = da, and the inv/beta
+        # cotangents are NOT computed (the identity entry point never
+        # exposes them to autodiff).
+        xc = x_ref[:]
+        if relu_in:
+            da = jnp.where(xc > jnp.zeros((), xc.dtype), da, 0.0)
+            a = jnp.maximum(xc, jnp.zeros((), xc.dtype))
+        else:
+            a = xc
+        dx_ref[:] = da.astype(dx_ref.dtype)
+        dw_ref[:] += jax.lax.dot_general(
+            a.astype(w_ref.dtype), dyt_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return
     x = x_ref[:].astype(jnp.float32)
     a = x * inv_ref[0:1, :] + beta_ref[0:1, :]
     if relu_in:
@@ -182,7 +210,7 @@ def _bwd_kernel(x_ref, w_ref, inv_ref, beta_ref, y_ref, dy_ref, dsq_ref,
 
 
 def _bwd_pallas(x, w, inv, beta, y, dy, dssum, dssq, relu: bool,
-                block_m: int, interpret: bool):
+                block_m: int, interpret: bool, identity: bool = False):
     m, k = x.shape
     n = w.shape[1]
     mp = _round_up(m, block_m)
@@ -203,7 +231,8 @@ def _bwd_pallas(x, w, inv, beta, y, dy, dssum, dssq, relu: bool,
 
     grid = (mp // block_m,)
     dx, dw, dinv, dbeta = pl.pallas_call(
-        functools.partial(_bwd_kernel, relu_in=relu, block_m=block_m),
+        functools.partial(_bwd_kernel, relu_in=relu, block_m=block_m,
+                          identity=identity),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, kp), lambda i: (i, 0),
@@ -275,17 +304,71 @@ def _vjp_bwd(relu, block_m, interpret, res, cts):
 _mm_bn_stats_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def mm_bn_stats(x, w, inv, beta, relu: bool = False,
-                block_m: int = 256):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _mm_stats_pallas_id(x, w, relu, block_m, interpret):
+    """Identity-affine variant: relu?(x) @ w + stats, no inv/beta
+    inputs. Skipping the per-element fp32 normalize is worth ~3x on
+    the forward at R101 stage-3 geometry (tools/fused_tune_probe.py);
+    conv1 and the projection feed raw (already-normalized or residual)
+    tensors, so their affine is statically the identity."""
+    k = x.shape[1]
+    dummy = jnp.zeros((k,), jnp.float32)
+    return _fwd_pallas(x, w, dummy, dummy, relu, block_m, interpret,
+                       identity=True)
+
+
+def _vjp_id_fwd(x, w, relu, block_m, interpret):
+    out = _mm_stats_pallas_id(x, w, relu, block_m, interpret)
+    return out, (x, w, out[0])
+
+
+def _vjp_id_bwd(relu, block_m, interpret, res, cts):
+    x, w, y = res
+    dy, dssum, dssq = cts
+    k = x.shape[1]
+    dummy = jnp.zeros((k,), jnp.float32)
+    dx, dw, _, _ = _bwd_pallas(x, w, dummy, dummy, y, dy, dssum, dssq,
+                               relu, block_m, interpret, identity=True)
+    return dx, dw
+
+
+_mm_stats_pallas_id.defvjp(_vjp_id_fwd, _vjp_id_bwd)
+
+
+def mm_bn_stats(x, w, inv=None, beta=None, relu: bool = False,
+                block_m: int = 128):
     """relu((x*inv + beta)) @ w with column sum/sum-of-squares outputs.
 
     ``x`` [M, K] raw previous-conv output (or an already-normalized
-    tensor with inv=1, beta=0), ``w`` [K, N] the 1x1 conv kernel
-    reshaped, ``inv``/``beta`` [K] the folded previous-BN affine.
+    tensor), ``w`` [K, N] the 1x1 conv kernel reshaped, ``inv``/``beta``
+    [K] the folded previous-BN affine — pass ``None`` for both to take
+    the identity fast path (no per-element normalize; the kernel skips
+    the fp32 expansion of the x block entirely).
     Returns (y [M, N] in x.dtype, ssum [N] fp32, ssq [N] fp32).
+
+    ``block_m`` defaults to 128: the measured best on v5e for the
+    fwd+bwd chain (0.209 ms vs 0.230/0.261/0.280 at 1024/512/256,
+    tools/fused_tune_probe.py sweep at stage-3 geometry).
+
+    ``w`` is cast to the compute dtype (x.dtype) first — exactly what
+    ``nn.Conv(dtype=...)`` does in the unfused block. Besides numeric
+    parity this is load-bearing for the kernel: a bf16 weight block is
+    half the VMEM (the R101 layer4 backward holds w + the dw
+    accumulator — 8 MB each in fp32 blows the 16 MB scoped-VMEM limit)
+    and keeps the matmul on the bf16 MXU path. The dw cotangent is
+    accumulated in fp32 and flows back through the cast to the fp32
+    param, matching unfused autodiff.
     """
     from creamfl_tpu.ops.dispatch import _pallas_active
 
+    w = w.astype(x.dtype)
+    identity = inv is None and beta is None
     if _pallas_active():
+        if identity:
+            return _mm_stats_pallas_id(x, w, relu, block_m, False)
         return _mm_bn_stats_pallas(x, w, inv, beta, relu, block_m, False)
+    if identity:
+        k = x.shape[1]
+        inv = jnp.ones((k,), jnp.float32)
+        beta = jnp.zeros((k,), jnp.float32)
     return mm_bn_stats_reference(x, w, inv, beta, relu)

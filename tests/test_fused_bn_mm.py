@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from creamfl_tpu.ops.fused_bn_mm import (_mm_bn_stats_pallas,
+                                         _mm_stats_pallas_id,
                                          mm_bn_stats_reference)
 
 
@@ -65,6 +66,42 @@ def test_bf16_inputs(rng):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(s), np.asarray(sr),
                                rtol=2e-2, atol=1.0)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_identity_path_matches_reference(rng, relu):
+    """The identity fast path (inv=1, beta=0 statically, no fp32
+    expansion of x) must match the reference with explicit ones/zeros,
+    in both forward and x/w gradients."""
+    x, w, _, _ = _data(rng)
+    k = x.shape[1]
+    ones = jnp.ones((k,), jnp.float32)
+    zeros = jnp.zeros((k,), jnp.float32)
+    y, s, q = _mm_stats_pallas_id(x, w, relu, 32, True)
+    yr, sr, qr = mm_bn_stats_reference(x, w, ones, zeros, relu)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(sr),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr),
+                               rtol=1e-5, atol=1e-4)
+
+    cs = jnp.asarray(rng.normal(size=(40,)), jnp.float32)
+    cq = jnp.asarray(rng.normal(size=(40,)) * 0.1, jnp.float32)
+
+    def scal(out):
+        y, s, q = out
+        return (jnp.sum(jnp.sin(y.astype(jnp.float32)))
+                + jnp.dot(s, cs) + jnp.dot(q, cq))
+
+    g_k = jax.grad(lambda *a: scal(
+        _mm_stats_pallas_id(*a, relu, 32, True)), argnums=(0, 1))(x, w)
+    g_r = jax.grad(lambda *a: scal(
+        mm_bn_stats_reference(*a, ones, zeros, relu)), argnums=(0, 1))(
+        x, w)
+    for a, b, name in zip(g_k, g_r, ("dx", "dw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
 
 
 def test_block_boundary_masking(rng):
