@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--test_size", type=int, default=25000)
     ap.add_argument("--no_write", action="store_true")
+    ap.add_argument("--no_chunked", action="store_true",
+                    help="bypass the chunked extractor (round-3 path)")
+    ap.add_argument("--key", default="eval_pinned_r5",
+                    help="PAPER_ROUND.json key to write")
     a = ap.parse_args()
 
     datasets, server, state, ev = build(a.test_size)
@@ -88,10 +92,28 @@ def main():
         return server.eval_step(state, batch["images"], captions,
                                 lengths, bert_mask)
 
+    def extract_chunk_fn(group):
+        # Mirrors MMFL._extract_eval_chunk (rounds.py): stack k uniform
+        # batches, one eval_chunk dispatch, flatten.
+        import jax.numpy as jnp
+        imgs = [b["images"] for b in group]
+        images = (jnp.stack(imgs) if isinstance(imgs[0], jax.Array)
+                  else np.stack(imgs))
+        caps, lens, masks = zip(*(server._text_inputs_host(b)
+                                  for b in group))
+        bert_mask = np.stack(masks) if masks[0] is not None else None
+        fi, ft = server.eval_chunk(state, images, np.stack(caps),
+                                   np.stack(lens), bert_mask)
+        dim = fi.shape[-1]
+        return fi.reshape(-1, dim), ft.reshape(-1, dim)
+
+    chunk_fn = None if a.no_chunked else extract_chunk_fn
+
     reps = []
     for rep in range(a.reps):
         t0 = time.perf_counter()
-        feats = ev.extract_features(datasets["test"], extract_fn)
+        feats = ev.extract_features(datasets["test"], extract_fn,
+                                    extract_chunk_fn=chunk_fn)
         t1 = time.perf_counter()
         scores = {}
         if len(feats["image_features"]) >= (ev.n_crossfolds
@@ -124,6 +146,7 @@ def main():
             r["rank_s"] for r in steady)[len(steady) // 2],
         "tunnel_rtt_s": round(_rtt(), 4),
         "test_size": a.test_size,
+        "chunked_extract": not a.no_chunked,
         "note": "rep 0 includes compiles and is excluded from the "
                 "medians; extract = eval_step loop + host dedup, rank = "
                 "crossfolds + full recalls",
@@ -132,7 +155,7 @@ def main():
     if not a.no_write:
         with open("PAPER_ROUND.json") as f:
             pr = json.load(f)
-        pr["eval_pinned"] = payload
+        pr[a.key] = payload
         with open("PAPER_ROUND.json", "w") as f:
             json.dump(pr, f, indent=1)
 
